@@ -1,0 +1,113 @@
+"""Character-bigram language-model perplexity (KenLM-style scoring stub).
+
+The north rule calls for KenLM-style n-gram perplexity inside vectorized
+Arrow UDFs.  A real KenLM binary/model is not available in this
+environment, so the *model* is a small deterministic character-bigram LM
+trained at import time on an embedded English corpus — but the Spark-side
+plumbing is exactly the production shape: the probability matrix is built
+once per Python worker, scoring is pure numpy over Arrow batches
+(no per-row Python beyond an ASCII re-encode), and the UDF is the
+iterator-of-series form from the reference's sanctioned pattern
+(``/root/reference/examples/pii_detection_presidio.py:117-128``).
+Swap ``CHAR_LM`` for a memory-mapped KenLM load to productionize.
+
+Scoring: texts are lowercased and projected onto a 27-symbol alphabet
+(a-z + space; every non-letter run collapses to one space — punctuation,
+digits, and PII tokens carry no perplexity signal, they are the scrub
+stage's job).  ``ppl = exp(-mean(ln P(c_i | c_{i-1})))`` with add-k
+smoothing.  Fluent English lands ~5-9, non-English prose and letter salad
+drift well above — thresholds live in the pipeline config.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Original training text (deterministic, embedded; ~1.4 KB).
+_TRAIN = (
+    "the quick brown fox jumps over the lazy dog while the patient engineer "
+    "reads the query plan and checks that the filter is pushed down to the "
+    "scan before the join runs on the cluster. the team agreed that the "
+    "pipeline should keep every turn of the conversation unless the text is "
+    "empty or contains personal information that must be removed first. "
+    "language models estimate the probability of the next character given "
+    "the previous characters, and a low perplexity means the text looks like "
+    "the training data. the assistant answered the question about the "
+    "retention policy and summarized the deployment without any failed "
+    "tasks. please check the dashboard for the latency spike and repartition "
+    "the table by the customer key before the window step so that the "
+    "aggregation does not spill to disk. this is a small but representative "
+    "sample of plain english prose used to estimate bigram statistics for "
+    "quality filtering of large training corpora. the results are written "
+    "to the output table in a stable order so that resumed jobs produce "
+    "identical bytes. thank you for your help with the configuration of the "
+    "nightly batch job and the review of the storage costs."
+)
+
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+V = len(_ALPHABET) + 1  # + space (all non-letters collapse to it)
+_SP = V - 1
+
+
+def _lut() -> np.ndarray:
+    lut = np.full(256, _SP, dtype=np.int32)
+    for i, ch in enumerate(_ALPHABET):
+        lut[ord(ch)] = i
+    return lut
+
+
+_LUT = _lut()
+
+
+def _ids(text: str) -> np.ndarray:
+    """letters+space symbol ids; non-letter runs collapsed to one space."""
+    raw = text.lower().encode("ascii", "replace")  # non-ascii -> '?'
+    ids = _LUT[np.frombuffer(raw, dtype=np.uint8)]
+    if ids.size == 0:
+        return ids
+    keep = np.ones(ids.size, dtype=bool)
+    keep[1:] = ~((ids[1:] == _SP) & (ids[:-1] == _SP))
+    return ids[keep]
+
+
+def _train(k: float = 0.5) -> np.ndarray:
+    counts = np.full((V, V), k, dtype=np.float64)
+    ids = _ids(_TRAIN)
+    np.add.at(counts, (ids[:-1], ids[1:]), 1.0)
+    return np.log(counts / counts.sum(axis=1, keepdims=True))
+
+
+CHAR_LM: np.ndarray = _train()
+
+
+def perplexity_of(text: Optional[str]) -> float:
+    """Driver-side scorer (tests / oracle cross-checks)."""
+    if text is None:
+        return float(V)
+    ids = _ids(text)
+    if ids.size < 2:
+        return float(V)
+    return float(np.exp(-CHAR_LM[ids[:-1], ids[1:]].mean()))
+
+
+def make_perplexity_udf():
+    """Arrow-batched perplexity UDF: ``text -> double``."""
+
+    def batches(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        lm = CHAR_LM  # resolved once per worker
+        for s in it:
+            out = np.full(len(s), float(V), dtype=np.float64)
+            for i, t in enumerate(s):
+                if t is None:
+                    continue
+                ids = _ids(t)
+                if ids.size >= 2:
+                    out[i] = np.exp(-lm[ids[:-1], ids[1:]].mean())
+            yield pd.Series(out)
+
+    return F.pandas_udf(batches, returnType=T.DoubleType())

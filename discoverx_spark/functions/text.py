@@ -1,0 +1,231 @@
+"""Text-analysis column expressions — JVM-side wherever possible.
+
+Everything here is a composition of ``pyspark.sql.functions`` built-ins so
+it stays inside whole-stage codegen (no Python in the hot path); the only
+UDF is the extended language-ID variant (script detection for non-Latin
+alphabets), which is Arrow-batched per the reference's sanctioned pattern
+(``/root/reference/examples/pii_detection_presidio.py:117-128``).
+
+All expressions are written with RE2-compatible regexes so the DuckDB
+oracle can evaluate the *same* pattern text — that parity is asserted by
+the driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --------------------------------------------------------------------------
+# Token counting
+# --------------------------------------------------------------------------
+
+def token_count_expr(col) -> Column:
+    """Whitespace-token count. ``size(regexp_extract_all(text, '(\\S+)'))``."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(r"(\S+)"), 1))
+
+
+def bpe_token_estimate_expr(col) -> Column:
+    """BPE-ish token estimate: alphanumeric runs and single punctuation
+    marks each count as one token (a cheap, deterministic proxy for a
+    subword tokenizer's piece count)."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(r"([A-Za-z0-9]+|[^A-Za-z0-9\s])"), 1))
+
+
+# --------------------------------------------------------------------------
+# Quality ratios
+# --------------------------------------------------------------------------
+
+def char_len_expr(col) -> Column:
+    return F.length(_c(col))
+
+
+def _count_class(col, char_class: str) -> Column:
+    return F.size(F.regexp_extract_all(_c(col), F.lit(f"({char_class})"), 1))
+
+
+def alpha_ratio_expr(col) -> Column:
+    """Fraction of characters that are letters (0.0 for empty)."""
+    n = F.length(_c(col))
+    return F.when(n > 0, _count_class(col, "[A-Za-zÀ-ÖØ-öø-ÿ]") / n).otherwise(F.lit(0.0))
+
+
+def digit_ratio_expr(col) -> Column:
+    n = F.length(_c(col))
+    return F.when(n > 0, _count_class(col, "[0-9]") / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio_expr(col) -> Column:
+    n = F.length(_c(col))
+    return F.when(n > 0, _count_class(col, r"[^\w\s]") / n).otherwise(F.lit(0.0))
+
+
+def whitespace_only_expr(col) -> Column:
+    return _c(col).isNotNull() & F.regexp_like(_c(col), F.lit(r"^\s*$"))
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting
+# --------------------------------------------------------------------------
+
+def normalize_text_expr(col) -> Column:
+    """Lowercase, collapse whitespace runs, trim — canonical dedup form."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def fingerprint_expr(col) -> Column:
+    """Deterministic content fingerprint: md5 of the normalized text.
+    md5 (not xxhash64) so the ANSI-SQL oracle computes the identical value;
+    swap for ``F.xxhash64`` at scale when oracle parity is not required."""
+    return F.md5(normalize_text_expr(col))
+
+
+# --------------------------------------------------------------------------
+# Language identification
+# --------------------------------------------------------------------------
+
+# Small stopword inventories (public-knowledge function words).  Word lists
+# are ordered; alternation order does not affect counts (all are \b-guarded
+# full words).
+LANG_STOPWORDS = {
+    "en": ["the", "and", "is", "to", "of", "in", "that", "it", "you", "for",
+           "with", "was", "this", "have", "are", "can", "my", "me"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ich", "sie", "mit",
+           "ein", "eine", "zu", "den", "von", "ohne", "für", "sind", "da"],
+    "fr": ["le", "la", "les", "et", "est", "je", "vous", "pas", "pour",
+           "dans", "une", "que", "qui", "avec", "ne", "sont", "sur", "me"],
+    "es": ["el", "la", "los", "las", "es", "no", "en", "que", "por", "para",
+           "con", "una", "del", "ya", "sin", "me", "mi", "están"],
+}
+
+_LANG_ORDER = ["en", "de", "fr", "es"]
+
+
+def _stopword_hits_expr(col, lang: str) -> Column:
+    words = "|".join(LANG_STOPWORDS[lang])
+    return F.size(F.regexp_extract_all(
+        F.lower(_c(col)), F.lit(rf"(\b(?:{words})\b)"), 1))
+
+
+def langid_struct_expr(col) -> Column:
+    """JVM-side language ID over {en,de,fr,es}: per-language stopword-hit
+    density, argmax with fixed tie order, 'und' when nothing hits.
+
+    Returns ``struct(lang string, lang_score double)``; score =
+    hits(best)/tokens.  This is the SQL-expressible profile of the fastText
+    role in the north rule; :func:`make_langid_udf` is the extended one.
+    """
+    toks = F.greatest(token_count_expr(col), F.lit(1))
+    hits = {lang: _stopword_hits_expr(col, lang) for lang in _LANG_ORDER}
+    best_hits = F.greatest(*[hits[l] for l in _LANG_ORDER])
+    lang = F.lit("und")
+    # reversed so earlier languages win ties via later overwrite
+    for l in reversed(_LANG_ORDER):
+        lang = F.when((best_hits > 0) & (hits[l] == best_hits), F.lit(l)).otherwise(lang)
+    score = (best_hits.cast("double") / toks.cast("double"))
+    return F.struct(lang.alias("lang"), score.alias("lang_score"))
+
+
+def langid_sql_exprs(text_sql: str) -> tuple:
+    """The DuckDB-oracle rendering of :func:`langid_struct_expr` — same
+    regexes, same tie order. Returns (lang_sql, score_sql)."""
+    toks = f"greatest(len(regexp_extract_all({text_sql}, '(\\S+)', 1)), 1)"
+    hit = {}
+    for lang in _LANG_ORDER:
+        words = "|".join(LANG_STOPWORDS[lang])
+        hit[lang] = (f"len(regexp_extract_all(lower({text_sql}),"
+                     f" '(\\b(?:{words})\\b)', 1))")
+    best = "greatest(" + ", ".join(hit[l] for l in _LANG_ORDER) + ")"
+    lang_sql = "CASE "
+    for l in _LANG_ORDER:
+        lang_sql += f"WHEN {best} > 0 AND {hit[l]} = {best} THEN '{l}' "
+    lang_sql += "ELSE 'und' END"
+    score_sql = f"CAST({best} AS DOUBLE) / CAST({toks} AS DOUBLE)"
+    return lang_sql, score_sql
+
+
+# Unicode script ranges for the UDF variant (deterministic, no model file:
+# the fastText lid.176 binary is not shippable here, so the scale plumbing
+# is real and the scorer is a stub-quality heuristic — swap `_classify`
+# for a real model load per examples/pii_detection_presidio.py:94-97).
+_SCRIPTS = [
+    ("zh", 0x4E00, 0x9FFF), ("ja", 0x3040, 0x30FF), ("ko", 0xAC00, 0xD7AF),
+    ("ru", 0x0400, 0x04FF), ("ar", 0x0600, 0x06FF), ("he", 0x0590, 0x05FF),
+    ("el", 0x0370, 0x03FF), ("hi", 0x0900, 0x097F), ("th", 0x0E00, 0x0E7F),
+]
+
+
+def make_langid_udf():
+    """Arrow-batched language ID: script detection for non-Latin text,
+    stopword density for Latin text. Returns struct(lang, lang_score)."""
+    import pyspark.sql.types as T
+
+    stop_sets = {l: frozenset(ws) for l, ws in LANG_STOPWORDS.items()}
+
+    def _classify(text: Optional[str]):
+        if text is None or not text.strip():
+            return "und", 0.0
+        counts = {}
+        n_char = 0
+        for ch in text:
+            cp = ord(ch)
+            if cp < 0x300:
+                continue
+            n_char += 1
+            for lang, lo, hi in _SCRIPTS:
+                if lo <= cp <= hi:
+                    counts[lang] = counts.get(lang, 0) + 1
+                    break
+        if counts:
+            best = max(sorted(counts), key=counts.get)
+            frac = counts[best] / max(len(text), 1)
+            if frac > 0.15:
+                return best, min(1.0, frac * 2)
+        words = text.lower().split()
+        if not words:
+            return "und", 0.0
+        scores = {l: sum(w.strip(".,;:!?\"'()") in s for w in words) / len(words)
+                  for l, s in stop_sets.items()}
+        best = max(_LANG_ORDER, key=lambda l: scores[l])
+        if scores[best] == 0:
+            return "und", 0.0
+        return best, min(1.0, scores[best] * 2)
+
+    ret = T.StructType([T.StructField("lang", T.StringType()),
+                        T.StructField("lang_score", T.DoubleType())])
+
+    def batches(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for s in it:
+            out = [_classify(t) for t in s]
+            yield pd.DataFrame({"lang": [o[0] for o in out],
+                                "lang_score": [o[1] for o in out]})
+
+    return F.pandas_udf(batches, returnType=ret)
+
+
+# --------------------------------------------------------------------------
+# Toxicity heuristic gate
+# --------------------------------------------------------------------------
+
+# Deliberately mild placeholder inventory — the operator is the deliverable,
+# the wordlist is config (pass your own to toxicity_exprs).
+TOXIC_KEYWORDS = ["stupid", "idiot", "idiotic", "moron", "shut up", "dumb",
+                  "useless", "hate you", "loser"]
+
+
+def toxicity_exprs(col, keywords: Optional[Sequence[str]] = None) -> tuple:
+    """(hits Column[int], score Column[double]): keyword-match count and
+    per-token density, case-insensitive, word-boundary guarded."""
+    kws = list(keywords) if keywords is not None else TOXIC_KEYWORDS
+    pattern = r"(\b(?:" + "|".join(k.replace(" ", r"\s+") for k in kws) + r")\b)"
+    hits = F.size(F.regexp_extract_all(F.lower(_c(col)), F.lit(pattern), 1))
+    score = hits.cast("double") / F.greatest(token_count_expr(col), F.lit(1)).cast("double")
+    return hits, score

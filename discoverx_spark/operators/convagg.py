@@ -1,0 +1,120 @@
+"""Conversation-level aggregates with explicit skew handling.
+
+North-rule requirement (BASELINE.json): conv-level aggregates (turn count,
+role balance, dedup signature) over a table where ~1% of conversations hold
+a large share of turns.  The naive ``groupBy("conv_id")`` hashes every turn
+of a hot conversation onto one reducer; here every aggregate is decomposed
+into a **two-phase salted aggregation** — partial aggregate on
+``(conv_id, salt)`` (salt = turn_idx bucket, so hot keys fan out across
+reducers), then a tiny final aggregate on ``conv_id`` over the partials.
+AQE skew-join handling covers the join back to turns.
+
+All aggregates are algebraic (sum/count/min/max decomposable), so the
+salted plan is exactly equivalent to the direct one — asserted in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_expr, token_count_expr
+
+
+def conversation_stats(turns: DataFrame, salt_buckets: int = 0) -> DataFrame:
+    """Per-conversation stats:
+    (conv_id, n_turns, n_user, n_assistant, n_tool, n_system, total_chars,
+    total_tokens, first_ts, last_ts, role_balance).
+
+    ``salt_buckets=0`` → direct groupBy (Spark's partial aggregation already
+    combines map-side; adequate when no key is pathological).
+    ``salt_buckets=S`` → explicit two-phase salted aggregation for hot keys.
+    """
+    base = turns.select(
+        "conv_id",
+        F.col("turn_idx"),
+        (F.col("role") == "user").cast("long").alias("is_user"),
+        (F.col("role") == "assistant").cast("long").alias("is_assistant"),
+        (F.col("role") == "tool").cast("long").alias("is_tool"),
+        (F.col("role") == "system").cast("long").alias("is_system"),
+        F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("n_chars"),
+        F.coalesce(token_count_expr("text"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.col("ts"),
+    )
+
+    partial_aggs = [
+        F.count("*").alias("n_turns"),
+        F.sum("is_user").alias("n_user"),
+        F.sum("is_assistant").alias("n_assistant"),
+        F.sum("is_tool").alias("n_tool"),
+        F.sum("is_system").alias("n_system"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    ]
+
+    if salt_buckets and salt_buckets > 1:
+        salted = base.withColumn(
+            "_salt", F.pmod(F.col("turn_idx"), F.lit(salt_buckets)))
+        part = salted.groupBy("conv_id", "_salt").agg(*partial_aggs)
+        agg = part.groupBy("conv_id").agg(
+            F.sum("n_turns").alias("n_turns"),
+            F.sum("n_user").alias("n_user"),
+            F.sum("n_assistant").alias("n_assistant"),
+            F.sum("n_tool").alias("n_tool"),
+            F.sum("n_system").alias("n_system"),
+            F.sum("total_chars").alias("total_chars"),
+            F.sum("total_tokens").alias("total_tokens"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    else:
+        agg = base.groupBy("conv_id").agg(*partial_aggs)
+
+    balance = (
+        F.least(F.col("n_user"), F.col("n_assistant")).cast("double")
+        / F.greatest(F.greatest(F.col("n_user"), F.col("n_assistant")), F.lit(1)).cast("double")
+    )
+    return agg.withColumn("role_balance", balance)
+
+
+def conversation_fingerprints(turns: DataFrame) -> DataFrame:
+    """Whole-conversation dedup key: md5 over the ordered turn fingerprints.
+    Order-stable under any physical partitioning: turns are sorted by
+    turn_idx inside the aggregation, not by arrival order."""
+    per_turn = turns.select(
+        "conv_id", "turn_idx", fingerprint_expr("text").alias("fp"))
+    return (
+        per_turn.groupBy("conv_id")
+        .agg(F.sort_array(F.collect_list(F.struct("turn_idx", "fp"))).alias("ordered"))
+        .select(
+            "conv_id",
+            F.md5(F.concat_ws("|", F.transform(F.col("ordered"),
+                                               lambda s: s["fp"]))).alias("conv_fingerprint"),
+        )
+    )
+
+
+def with_conversation_stats(turns: DataFrame, salt_buckets: int = 8,
+                            stats: Optional[DataFrame] = None) -> DataFrame:
+    """Enrich each turn with its conversation's stats (join on conv_id;
+    AQE splits skewed partitions at runtime)."""
+    s = stats if stats is not None else conversation_stats(turns, salt_buckets)
+    return turns.join(s, on="conv_id", how="left")
+
+
+def role_alternation_violations(turns: DataFrame) -> DataFrame:
+    """Turns whose role equals the previous turn's role (lag over the
+    stable (conv_id, turn_idx) window — SURVEY §2.5 rebuild usage)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        turns.withColumn("_prev_role", F.lag("role").over(w))
+        .filter(F.col("_prev_role").isNotNull()
+                & (F.col("_prev_role") == F.col("role")))
+        .select("conv_id", "turn_idx", "role")
+    )

@@ -1,0 +1,236 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale notes (the design constraints, per SURVEY §7):
+
+* **Exact**: fingerprint → ``groupBy(fp).agg(min(id))`` → left-semi join.
+  One shuffle on the (small) fingerprint, partial-agg combines map-side.
+* **MinHash**: signatures are computed **without any shuffle** —
+  ``array_min(transform(shingles, h_i))`` per hash function is a pure
+  projection, so a 100 TB corpus computes signatures in the scan stage.
+  Only the LSH banding shuffles, and it shuffles ``docs × bands`` short
+  rows, never the text.
+* **SimHash**: same shape — per-bit majority over token hashes via
+  ``aggregate`` on the token array, zero shuffle.
+* **Hashing**: ``hash_mode="xxhash64"`` (JVM, fastest) for production;
+  ``hash_mode="md5"`` derives a 32-bit value from the md5 hex prefix so an
+  ANSI-SQL oracle (DuckDB) reproduces identical signatures — used by the
+  correctness gate.
+
+Reference tie-in: the reference has no dedup operators; these extend the
+scan-and-classify engine into the training-data pipeline the north rule
+describes (conv-level MinHash signatures, BASELINE.json:north_star).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# Tokenize / shingle
+# --------------------------------------------------------------------------
+
+def tokens_expr(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(r"(\S+)"), 1)
+
+
+def shingles_expr(col, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (pure projection)."""
+    toks = tokens_expr(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.when(F.size(toks) >= n,
+                  F.transform(idx, lambda i: F.concat_ws(
+                      " ", *[F.element_at(toks, (i + j + 1).cast("int"))
+                             for j in range(n)]))
+                  ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+# --------------------------------------------------------------------------
+# Hash families
+# --------------------------------------------------------------------------
+
+def _hash_fn(mode: str, seed: int):
+    """Returns f(Column[string]) -> Column[long] for hash family member
+    ``seed``. md5 mode = first 8 hex chars as unsigned int (oracle parity:
+    DuckDB ``('0x'||substr(md5(s||'#i'),1,8))::BIGINT``)."""
+    if mode == "xxhash64":
+        return lambda c: F.xxhash64(c, F.lit(seed))
+    if mode == "md5":
+        return lambda c: F.conv(
+            F.substring(F.md5(F.concat(c, F.lit(f"#{seed}"))), 1, 8), 16, 10
+        ).cast("long")
+    raise ValueError(f"unknown hash_mode {mode!r}")
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(fingerprint, canonical_id, dup_count) for fingerprints seen >1 time."""
+    from ..functions.text import fingerprint_expr
+
+    fp = df.select(F.col(id_col).alias("id"),
+                   fingerprint_expr(text_col).alias("fingerprint"))
+    return (fp.groupBy("fingerprint")
+            .agg(F.min("id").alias("canonical_id"), F.count("*").alias("dup_count"))
+            .filter(F.col("dup_count") > 1))
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per normalized-text fingerprint."""
+    from ..functions.text import fingerprint_expr
+
+    with_fp = df.withColumn("_fp", fingerprint_expr(text_col))
+    keep = (with_fp.groupBy("_fp")
+            .agg(F.min(F.col(id_col)).alias(id_col)))
+    return with_fp.join(keep, on=[ "_fp", id_col], how="left_semi").drop("_fp")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signature_exprs(shingles: Column, k: int = 16,
+                            hash_mode: str = "xxhash64") -> list:
+    """k min-hash Columns over a shingle array — zero-shuffle projection."""
+    out = []
+    for i in range(k):
+        h = _hash_fn(hash_mode, i)
+        out.append(F.array_min(F.transform(shingles, h)).alias(f"mh_{i}"))
+    return out
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       k: int = 16, shingle_n: int = 3,
+                       hash_mode: str = "xxhash64") -> DataFrame:
+    sh = shingles_expr(text_col, shingle_n)
+    return df.select(F.col(id_col).alias("id"),
+                     *minhash_signature_exprs(sh, k, hash_mode))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
+                        k: int = 16) -> DataFrame:
+    """Band the k-column signature into ``bands`` buckets; docs sharing any
+    band bucket become a candidate pair (id_a < id_b, distinct).
+
+    Shuffles only (id, band_hash) — the classic scale-safe LSH join."""
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + j}")
+                 for j in range(rows_per_band)]
+        band_cols.append(F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws(",", *[p.cast("string") for p in parts])).alias("band_hash"),
+        ))
+    exploded = (signatures
+                .select("id", F.explode(F.array(*band_cols)).alias("band"))
+                .select("id", "band.band_idx", "band.band_hash"))
+    left = exploded.alias("a")
+    right = exploded.alias("b")
+    return (left.join(right, on=["band_idx", "band_hash"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+
+
+def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
+                            k: int = 16, bands: int = 4, shingle_n: int = 3,
+                            threshold: float = 0.7,
+                            hash_mode: str = "xxhash64") -> DataFrame:
+    """Full MinHash-LSH near-dup: candidates from banding, verified with the
+    exact signature-agreement estimate ≥ threshold."""
+    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n, hash_mode)
+    cands = lsh_candidate_pairs(sigs, bands, k)
+    a = sigs.alias("sa")
+    b = sigs.alias("sb")
+    agree = sum((F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}")).cast("int")
+                for i in range(k))
+    return (cands
+            .join(a, cands["id_a"] == F.col("sa.id"))
+            .join(b, cands["id_b"] == F.col("sb.id"))
+            .select("id_a", "id_b", (agree / F.lit(k)).alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold))
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard (verification / small-set dedup)
+# --------------------------------------------------------------------------
+
+def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                  candidates: Optional[DataFrame] = None,
+                  shingle_n: int = 3, threshold: float = 0.0) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for candidate pairs (or the
+    full self-cross if ``candidates`` is None — small inputs only; pass LSH
+    candidates at scale)."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   F.array_distinct(shingles_expr(text_col, shingle_n)).alias("sh"))
+    if candidates is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        pairs = a.crossJoin(b).filter(F.col("a.id") < F.col("b.id"))
+    else:
+        pairs = (candidates
+                 .join(sh.alias("a"), candidates["id_a"] == F.col("a.id"))
+                 .join(sh.alias("b"), candidates["id_b"] == F.col("b.id")))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (pairs.select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+        (inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+         ).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold))
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_expr(col, bits: int = 16, hash_mode: str = "xxhash64") -> Column:
+    """SimHash over word tokens: bit b set iff the per-bit majority of token
+    hashes is 1. Pure projection (zero shuffle)."""
+    toks = F.array_distinct(tokens_expr(col))
+    h = _hash_fn(hash_mode, 0)
+    hashes = F.transform(toks, h)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(
+            hashes, F.lit(0).cast("long"),
+            lambda acc, x: acc + F.when(
+                F.shiftrightunsigned(x, b).bitwiseAND(F.lit(1).cast("long")) == 1,
+                F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long")))
+        sim = sim + F.when(vote >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sim
+
+
+def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
+                            bits: int = 16, max_hamming: int = 2,
+                            hash_mode: str = "xxhash64") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance. Candidate generation
+    buckets on the simhash value split into two half-words (any pair within
+    hamming ≤ bits/2-locality shares at least one half) — standard
+    pigeonhole blocking, shuffle is (id, half_key) only."""
+    half = bits // 2
+    sims = df.select(F.col(id_col).alias("id"),
+                     simhash_expr(text_col, bits, hash_mode).alias("simhash"))
+    lo = F.col("simhash").bitwiseAND(F.lit((1 << half) - 1).cast("long"))
+    hi = F.shiftrightunsigned(F.col("simhash"), half)
+    blocks = sims.select(
+        "id", "simhash",
+        F.explode(F.array(
+            F.concat(F.lit("lo:"), lo.cast("string")),
+            F.concat(F.lit("hi:"), hi.cast("string")))).alias("block"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pop = lambda c: F.bit_count(c)
+    pairs = (a.join(b, on="block").filter(F.col("a.id") < F.col("b.id"))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+             .distinct())
+    hamming = pop(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (pairs.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

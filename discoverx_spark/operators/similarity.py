@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+* Brute-force cosine top-k: ``broadcast(queries) × corpus`` — the correct
+  baseline when queries are few; the corpus is never shuffled, each task
+  scores its local slice and only ``queries × k`` rows survive the top-k.
+* LSH (random hyperplanes) and IVF (coarse quantizer) variants bucket the
+  corpus so a 10^9-vector table probes a fraction of partitions.
+
+Dot products use ``zip_with`` + left-fold ``aggregate`` in **double**
+precision with sequential order — bit-reproducible across partitionings and
+matched exactly by the DuckDB oracle's ``list_reduce(list_transform(...))``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a, b) -> Column:
+    """Sequential left-fold dot product in double precision."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(a) -> Column:
+    return F.sqrt(F.aggregate(
+        a, F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine_expr(a, b) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     round_digits: int = 6) -> DataFrame:
+    """Top-k cosine neighbors of each query vector.
+
+    Returns (query_id, neighbor_id, cosine) — the query itself excluded.
+    Scores are rounded before ranking so ordering is precision-stable, and
+    ties break on neighbor id (deterministic output)."""
+    from pyspark.sql.window import Window
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")),
+                              round_digits).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def embedding_near_duplicates(df: DataFrame, threshold: float = 0.98,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              round_digits: int = 6) -> DataFrame:
+    """All pairs with cosine ≥ threshold (exact, O(n²) — for verification
+    and small sets; use :func:`lsh_bucket_candidates` upstream at scale)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(cosine_expr(F.col("va"), F.col("vb")),
+                            round_digits).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
+# --------------------------------------------------------------------------
+# Scale paths: random-hyperplane LSH and IVF coarse quantization
+# --------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def lsh_signature_expr(vec_col, planes: Sequence[Sequence[float]]) -> Column:
+    """Sign-of-dot-product bit signature against fixed hyperplanes —
+    pure projection, broadcast as literals (no model state)."""
+    sig = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(vec_col, F.array(*[F.lit(float(x)) for x in plane]),
+                       lambda v, p: v.cast("double") * p),
+            F.lit(0.0), lambda acc, x: acc + x)
+        sig = sig + F.when(d >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_planes: int = 12, seed: int = 42, dim: Optional[int] = None,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k: bucket corpus and queries by hyperplane signature, score
+    only same-bucket pairs (plus Hamming-1 probes), rank per query.
+
+    Trades recall for a ~2^n_planes reduction in scored pairs; shuffle key
+    is the bucket id, never the vectors of unrelated buckets."""
+    from pyspark.sql.window import Window
+
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"),
+                      lsh_signature_expr(F.col(vec_col), planes).alias("bucket"))
+    # multi-probe: query joins its own bucket plus all Hamming-1 buckets
+    probes = F.array(*([F.col("q_sig")] +
+                       [F.col("q_sig").bitwiseXOR(F.lit(1 << b).cast("long"))
+                        for b in range(n_planes)]))
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("q_vec"),
+                        lsh_signature_expr(F.col(vec_col), planes).alias("q_sig"))
+         .select("query_id", "q_vec", F.explode(probes).alias("bucket")))
+    scored = (c.join(F.broadcast(q), on="bucket")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6)
+                      .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid (broadcast centroids).
+    Output: (id, centroid_id) — the IVF index's coarse partitioning; write
+    it out partitioned by centroid_id and queries prune to probed lists."""
+    from pyspark.sql.window import Window
+
+    cent = centroids.select(F.col(id_col).alias("centroid_id"),
+                            F.col(vec_col).alias("cent_vec"))
+    scored = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")) \
+        .crossJoin(F.broadcast(cent)) \
+        .select("id", "centroid_id",
+                cosine_expr(F.col("v"), F.col("cent_vec")).alias("sim"))
+    w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select("id", "centroid_id"))

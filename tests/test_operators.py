@@ -1,0 +1,174 @@
+"""Dedup / similarity / conv-agg operator tests (vs driver-side oracles)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from discoverx_spark.operators import (
+    brute_force_topk, conversation_fingerprints, conversation_stats,
+    dedup_exact, embedding_near_duplicates, exact_duplicates, jaccard_pairs,
+    lsh_candidate_pairs, lsh_topk, minhash_near_duplicates,
+    minhash_signatures, role_alternation_violations, shingles_expr,
+    simhash_expr, simhash_near_duplicates, with_conversation_stats)
+from discoverx_spark.transcripts import generate_transcripts
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+    (3, "The  Quick Brown   Fox jumps over the lazy dog"),        # normalized dup of 1
+    (4, "the quick brown fox jumps over the sleepy dog"),         # near dup
+    (5, "a completely different sentence about query planning"),
+    (6, "spark partitions shuffle data between executors at scale"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    dups = exact_duplicates(docs, "text", "doc_id").collect()
+    assert len(dups) == 1
+    assert dups[0]["canonical_id"] == 1 and dups[0]["dup_count"] == 3
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    kept = sorted(r["doc_id"] for r in dedup_exact(docs, "text", "doc_id").collect())
+    assert kept == [1, 4, 5, 6]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",)], "t string")
+    rows = df.select(shingles_expr("t", 3).alias("s")).collect()
+    assert rows[0]["s"] == ["a b c", "b c d"]
+    assert rows[1]["s"] == ["x y"]  # short text falls back to whole string
+
+
+@pytest.mark.parametrize("mode", ["xxhash64", "md5"])
+def test_minhash_identical_docs_same_signature(docs, mode):
+    sigs = {r["id"]: tuple(r[f"mh_{i}"] for i in range(8))
+            for r in minhash_signatures(docs, "text", "doc_id", k=8,
+                                        hash_mode=mode).collect()}
+    assert sigs[1] == sigs[2]          # identical text, identical signature
+    agree14 = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+    agree15 = sum(a == b for a, b in zip(sigs[1], sigs[5]))
+    assert agree14 > agree15           # near dup agrees more than unrelated
+
+
+def test_minhash_near_duplicates(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in minhash_near_duplicates(docs, "text", "doc_id",
+                                              k=16, bands=8,
+                                              threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert all(not (set(p) & {5, 6}) or p in {(5, 6)} for p in pairs
+               if pairs[p] >= 0.99)
+
+
+def test_lsh_candidates_contain_exact_dups(docs):
+    sigs = minhash_signatures(docs, "text", "doc_id", k=16)
+    cands = {(r["id_a"], r["id_b"])
+             for r in lsh_candidate_pairs(sigs, bands=8, k=16).collect()}
+    assert (1, 2) in cands
+
+
+def test_jaccard_pairs_exact(docs):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in jaccard_pairs(docs, "text", "doc_id", shingle_n=2).collect()}
+    assert got[(1, 2)] == 1.0
+    # python oracle for (1, 4)
+    def sh2(t):
+        w = t.lower().split()
+        return set(" ".join(w[i:i+2]) for i in range(len(w) - 1))
+    a, b = sh2(DOCS[0][1]), sh2(DOCS[3][1])
+    assert got[(1, 4)] == pytest.approx(len(a & b) / len(a | b))
+
+
+def test_simhash_near_duplicates(docs):
+    sims = {r["doc_id"]: r["sh"] for r in
+            docs.select("doc_id", simhash_expr("text", 16).alias("sh")).collect()}
+    assert sims[1] == sims[2]
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_near_duplicates(docs, "text", "doc_id", bits=16,
+                                     max_hamming=3).collect()}
+    assert (1, 2) in pairs
+
+
+# --------------------------------------------------------------------------
+# Similarity
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.RandomState(0)
+    base = rng.randn(20, 8)
+    base[1] = base[0] + 0.01 * rng.randn(8)        # near dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), base
+
+
+def test_brute_force_topk_matches_numpy(embeddings):
+    df, base = embeddings
+    out = brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=3)
+    got = [(r["neighbor_id"], r["cosine"]) for r in out.orderBy("rank").collect()]
+    b32 = base.astype(np.float32).astype(np.float64)   # spark stores float32
+    sims = b32 @ b32[0] / (np.linalg.norm(b32, axis=1) * np.linalg.norm(b32[0]))
+    order = [i for i in np.argsort(-np.round(sims, 6)) if i != 0][:3]
+    assert [g[0] for g in got] == order
+    assert got[0][0] == 1  # the planted near-duplicate is rank 1
+
+
+def test_embedding_near_duplicates(embeddings):
+    df, _ = embeddings
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_duplicates(df, threshold=0.98).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_lsh_topk_finds_planted_neighbor(embeddings):
+    df, _ = embeddings
+    out = lsh_topk(df, df.filter(F.col("vec_id") == 0), k=3, n_planes=6, dim=8)
+    rows = out.orderBy("rank").collect()
+    assert rows and rows[0]["neighbor_id"] == 1
+
+
+# --------------------------------------------------------------------------
+# Conversation aggregates
+# --------------------------------------------------------------------------
+
+def test_salted_stats_equal_direct(spark):
+    turns = generate_transcripts(spark, 60, seed=3, hot_frac=0.1)
+    direct = {r["conv_id"]: r for r in conversation_stats(turns, 0).collect()}
+    salted = {r["conv_id"]: r for r in conversation_stats(turns, 8).collect()}
+    assert set(direct) == set(salted)
+    for k in direct:
+        assert direct[k] == salted[k]
+
+
+def test_conversation_fingerprints_detect_identical_convs(spark):
+    rows = [("a", 0, "u", "hello there", None, None),
+            ("a", 1, "as", "hi back", None, None),
+            ("b", 0, "u", "hello there", None, None),
+            ("b", 1, "as", "hi back", None, None),
+            ("c", 0, "u", "different", None, None)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")
+    fps = {r["conv_id"]: r["conv_fingerprint"]
+           for r in conversation_fingerprints(df).collect()}
+    assert fps["a"] == fps["b"] != fps["c"]
+
+
+def test_with_conversation_stats_join(spark):
+    turns = generate_transcripts(spark, 20, seed=5)
+    out = with_conversation_stats(turns)
+    assert out.count() == turns.count()
+    r = out.filter(F.col("turn_idx") == 0).first()
+    assert r["n_turns"] >= 2
+
+
+def test_role_alternation(spark):
+    rows = [("a", 0, "user"), ("a", 1, "user"), ("a", 2, "assistant")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    v = role_alternation_violations(df).collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in v] == [("a", 1)]
