@@ -64,15 +64,20 @@ def _lut() -> np.ndarray:
 _LUT = _lut()
 
 
-def _ids(text: str) -> np.ndarray:
+# bytes→canonical bytes: letters pass through, everything else → space.
+# Doing the collapse at the bytes level (translate + split/join) keeps the
+# whole normalization in C; the numpy mask variant costs 3 small-array ops
+# per row, which dominates at ~50 chars/row.
+_BYTE_CANON = bytes((i if ord("a") <= i <= ord("z") else ord(" "))
+                    for i in range(256))
+
+
+def _ids(text: str, lowered: str = None) -> np.ndarray:
     """letters+space symbol ids; non-letter runs collapsed to one space."""
-    raw = text.lower().encode("ascii", "replace")  # non-ascii -> '?'
-    ids = _LUT[np.frombuffer(raw, dtype=np.uint8)]
-    if ids.size == 0:
-        return ids
-    keep = np.ones(ids.size, dtype=bool)
-    keep[1:] = ~((ids[1:] == _SP) & (ids[:-1] == _SP))
-    return ids[keep]
+    raw = (lowered if lowered is not None else text.lower()) \
+        .encode("ascii", "replace")  # non-ascii -> '?'
+    canon = b" ".join(raw.translate(_BYTE_CANON).split())
+    return _LUT[np.frombuffer(canon, dtype=np.uint8)]
 
 
 def _train(k: float = 0.5) -> np.ndarray:
@@ -92,7 +97,8 @@ def perplexity_of(text: Optional[str]) -> float:
     ids = _ids(text)
     if ids.size < 2:
         return float(V)
-    return float(np.exp(-CHAR_LM[ids[:-1], ids[1:]].mean()))
+    logp = CHAR_LM[ids[:-1], ids[1:]]
+    return float(np.exp(-logp.sum() / logp.size))
 
 
 def make_perplexity_udf():
@@ -102,12 +108,13 @@ def make_perplexity_udf():
         lm = CHAR_LM  # resolved once per worker
         for s in it:
             out = np.full(len(s), float(V), dtype=np.float64)
-            for i, t in enumerate(s):
+            for i, t in enumerate(s.tolist()):
                 if t is None:
                     continue
                 ids = _ids(t)
                 if ids.size >= 2:
-                    out[i] = np.exp(-lm[ids[:-1], ids[1:]].mean())
+                    logp = lm[ids[:-1], ids[1:]]
+                    out[i] = np.exp(-logp.sum() / logp.size)
             yield pd.Series(out)
 
     return F.pandas_udf(batches, returnType=T.DoubleType())

@@ -39,14 +39,23 @@ def tokens_expr(col) -> Column:
 
 
 def shingles_expr(col, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (pure projection)."""
+    """Word n-gram shingles as an array<string> (pure projection).
+
+    Built by zipping the token array with its shifted slices — NEVER by
+    per-element ``element_at`` lambdas: Catalyst inlines outer array
+    expressions into lambda bodies, so an element-indexed formulation
+    re-tokenizes the text once per shingle per reference (measured 60×
+    slowdown).  Here the token array is referenced a constant number of
+    times per row."""
     toks = tokens_expr(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    return F.when(F.size(toks) >= n,
-                  F.transform(idx, lambda i: F.concat_ws(
-                      " ", *[F.element_at(toks, (i + j + 1).cast("int"))
-                             for j in range(n)]))
-                  ).otherwise(F.array(F.concat_ws(" ", toks)))
+    joined = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.size(toks))
+        joined = F.zip_with(joined, shifted,
+                            lambda a, b: F.concat(a, F.lit(" "), b))
+    full = F.slice(joined, 1, F.size(toks) - n + 1)
+    return F.when(F.size(toks) >= n, full) \
+            .otherwise(F.array(F.concat_ws(" ", toks)))
 
 
 # --------------------------------------------------------------------------
@@ -95,14 +104,25 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
+_LONG_MAX = (1 << 63) - 1
+
+
 def minhash_signature_exprs(shingles: Column, k: int = 16,
                             hash_mode: str = "xxhash64") -> list:
-    """k min-hash Columns over a shingle array — zero-shuffle projection."""
-    out = []
-    for i in range(k):
-        h = _hash_fn(hash_mode, i)
-        out.append(F.array_min(F.transform(shingles, h)).alias(f"mh_{i}"))
-    return out
+    """k min-hash Columns over a shingle array — zero-shuffle projection.
+
+    Each min is a single ``aggregate`` fold (``least(acc, h(x))``) so the
+    hash is applied to the *bound* lambda element; an
+    ``array_min(transform(...))`` form would re-inline (and re-evaluate)
+    the shingle expression per element after projection collapse."""
+    def min_fold(h):
+        # pyspark derives lambda arity from the signature — capture h via
+        # closure, never as a default parameter
+        return F.aggregate(shingles, F.lit(_LONG_MAX).cast("long"),
+                           lambda acc, x: F.least(acc, h(x)))
+
+    return [min_fold(_hash_fn(hash_mode, i)).alias(f"mh_{i}")
+            for i in range(k)]
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
@@ -192,19 +212,31 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def simhash_expr(col, bits: int = 16, hash_mode: str = "xxhash64") -> Column:
     """SimHash over word tokens: bit b set iff the per-bit majority of token
-    hashes is 1. Pure projection (zero shuffle)."""
+    hashes is 1.  Pure projection (zero shuffle): ONE aggregate fold carries
+    all per-bit vote counters in a struct accumulator, so the token array is
+    hashed exactly once per row regardless of ``bits``."""
     toks = F.array_distinct(tokens_expr(col))
     h = _hash_fn(hash_mode, 0)
     hashes = F.transform(toks, h)
-    sim = F.lit(0).cast("long")
-    for b in range(bits):
-        vote = F.aggregate(
-            hashes, F.lit(0).cast("long"),
-            lambda acc, x: acc + F.when(
+    zero = F.struct(*[F.lit(0).cast("long").alias(f"v{b}") for b in range(bits)])
+
+    def step(acc, x):
+        return F.struct(*[
+            (acc[f"v{b}"] + F.when(
                 F.shiftrightunsigned(x, b).bitwiseAND(F.lit(1).cast("long")) == 1,
-                F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long")))
-        sim = sim + F.when(vote >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sim
+                F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long"))
+             ).alias(f"v{b}")
+            for b in range(bits)])
+
+    def finish(acc):
+        sim = F.lit(0).cast("long")
+        for b in range(bits):
+            sim = sim + F.when(acc[f"v{b}"] >= 0,
+                               F.lit(1 << b).cast("long")).otherwise(
+                               F.lit(0).cast("long"))
+        return sim
+
+    return F.aggregate(hashes, zero, step, finish)
 
 
 def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,

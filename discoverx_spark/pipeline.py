@@ -5,35 +5,45 @@ lifecycle (``/root/reference/discoverx/scanner.py`` +
 ``msql.py`` select/delete-by-class) for one huge transcripts table:
 
     read transcripts
-      → language ID                 (JVM expr profile or Arrow UDF)
-      → perplexity                  (Arrow UDF, numpy-vectorized)
-      → PII scrub + counts          (Arrow UDF, compiled alternation)
-      → toxicity + quality gates    (F.when chains, shape per reference
-                                     delta_housekeeping.py:251-363)
-      → keep/drop + drop_reasons    (array_compact of conditional flags)
+      → ONE fused Arrow UDF: PII scrub + counts, perplexity, language ID,
+        toxicity, token stats        (numpy/compiled-regex, batched)
+      → keep/drop gates              (cheap JVM when-chains, shape per
+                                      reference delta_housekeeping.py:251-363)
       → stable (conv_id, turn_idx) ordering on write
 
-Output schema = FIXTURES.md §F2 ``decisions`` table.  Everything except the
-three Arrow UDFs is whole-stage-codegen JVM work; the UDFs are batched and
-stateless-per-batch, so the plan is a single narrow map stage over the
-input — zero shuffles until the optional write-time ordering.  Decision
-logic contains no timestamps or nondeterminism (resume-safety invariant,
-SURVEY §7 hard part 5).
+Output schema = FIXTURES.md §F2 ``decisions`` table.
+
+Plan-shape engineering (measured on 5M turns, local[8] vs local[32]):
+
+* All per-row text analysis lives in a SINGLE ``pandas_udf`` returning one
+  struct — one ArrowEvalPython node, one serialization round-trip.  Two
+  chained UDFs doubled Arrow overhead; JVM-side regex variants of the same
+  features (still available in functions/text.py and used by the oracle
+  queries) caused JVM↔Python core contention at high parallelism: every
+  task thread ran ~20 regex passes per row while its Python worker was
+  also saturated, so local[32] barely beat local[8].
+* Gate logic is plain column arithmetic over the struct's fields —
+  whole-stage codegen, no higher-order functions (``concat`` of
+  conditional arrays, not ``filter``/``array_compact``, which knock the
+  projection out of codegen).
+* Decision logic contains no timestamps or nondeterminism (resume-safety
+  invariant, SURVEY §7 hard part 5).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Iterator, Optional, Tuple
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from .functions.perplexity import make_perplexity_udf
-from .functions.text import (char_len_expr, langid_struct_expr,
-                             make_langid_udf, token_count_expr,
-                             toxicity_exprs, whitespace_only_expr)
-from .scrub import PROFILE_PYTHON, make_scrub_udf
+from .functions import perplexity as _ppl
+from .functions.text import _LANG_ORDER, _SCRIPTS, LANG_STOPWORDS, TOXIC_KEYWORDS
+from .scrub import PROFILE_PYTHON, _compiled
 
 DECISION_COLUMNS = [
     "conv_id", "turn_idx", "role", "lang", "lang_score", "perplexity",
@@ -52,43 +62,157 @@ class PipelineConfig:
     max_toxicity_hits: int = 1          # drop when hits >= this
     toxicity_keywords: Optional[Tuple[str, ...]] = None
     scrub_profile: str = PROFILE_PYTHON
-    langid_mode: str = "expr"           # "expr" (JVM) | "udf" (Arrow, +scripts)
+
+
+_FEATURES_TYPE = T.StructType([
+    T.StructField("scrubbed_text", T.StringType()),
+    T.StructField("pii_counts", T.MapType(T.StringType(), T.IntegerType())),
+    T.StructField("perplexity", T.DoubleType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("lang_score", T.DoubleType()),
+    T.StructField("tox_hits", T.IntegerType()),
+    T.StructField("toxicity_score", T.DoubleType()),
+    T.StructField("n_tokens", T.IntegerType()),
+    T.StructField("n_chars", T.IntegerType()),
+    T.StructField("is_blank", T.BooleanType()),
+])
+
+_FEAT_COLS = [f.name for f in _FEATURES_TYPE.fields]
+
+
+def make_features_udf(scrub_profile: str = PROFILE_PYTHON,
+                      toxicity_keywords: Optional[Tuple[str, ...]] = None):
+    """Single Arrow-batched UDF: scrub + pii counts + perplexity + language
+    ID (script ranges → stopword density) + toxicity + token stats, one
+    Python pass per batch.  All compiled state is built once per worker
+    (iterator-of-series lifecycle, reference
+    examples/pii_detection_presidio.py:117-128)."""
+    import re as _re
+
+    kws = list(toxicity_keywords) if toxicity_keywords is not None else TOXIC_KEYWORDS
+
+    def batches(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        rules = _compiled(scrub_profile)
+        lm = _ppl.CHAR_LM
+        v = float(_ppl.V)
+        # stopword → bitmask over _LANG_ORDER: one dict probe per word
+        # instead of four set probes
+        word_langs = {}
+        for li, l in enumerate(_LANG_ORDER):
+            for w in LANG_STOPWORDS[l]:
+                word_langs[w] = word_langs.get(w, 0) | (1 << li)
+        tox_rx = _re.compile(
+            r"\b(?:" + "|".join(k.replace(" ", r"\s+") for k in kws) + r")\b")
+        strip_chars = ".,;:!?\"'()"
+        # every scrub pattern requires '@', ':', '/', or a digit — one cheap
+        # C-level scan rejects the (common) PII-free rows before 7 regex subs
+        pii_gate = _re.compile(r"[@:/0-9]")
+
+        def lang_of(text, words):
+            # script detection only for non-ASCII text (isascii is C-speed)
+            if not text.isascii():
+                counts = {}
+                for ch in text:
+                    cp = ord(ch)
+                    if cp < 0x300:
+                        continue
+                    for lang, lo, hi in _SCRIPTS:
+                        if lo <= cp <= hi:
+                            counts[lang] = counts.get(lang, 0) + 1
+                            break
+                if counts:
+                    best = max(sorted(counts), key=counts.get)
+                    frac = counts[best] / max(len(text), 1)
+                    if frac > 0.15:
+                        return best, min(1.0, frac * 2)
+            if not words:
+                return "und", 0.0
+            masks = [0, 0, 0, 0]
+            for w in words:
+                m = word_langs.get(w)
+                if m is None and w and w[-1] in strip_chars:
+                    m = word_langs.get(w.strip(strip_chars))
+                if m:
+                    for li in range(4):
+                        if m & (1 << li):
+                            masks[li] += 1
+            best_li, best_hits = 0, 0
+            for li in range(4):
+                if masks[li] > best_hits:
+                    best_li, best_hits = li, masks[li]
+            if best_hits == 0:
+                return "und", 0.0
+            return _LANG_ORDER[best_li], min(1.0, best_hits / len(words) * 2)
+
+        def one(text):
+            if text is None:
+                return (None, {}, v, "und", 0.0, 0, 0.0, 0, 0, True)
+            lowered = text.lower()
+            words = lowered.split()
+            n_tokens = len(words)
+            n_chars = len(text)
+            is_blank = not text.strip()
+            lang, lang_score = lang_of(text, words)
+            tox_hits = len(tox_rx.findall(lowered))
+            tox_score = tox_hits / max(n_tokens, 1)
+            ids = _ppl._ids(text, lowered)  # perplexity: ORIGINAL text
+            if ids.size >= 2:
+                logp = lm[ids[:-1], ids[1:]]
+                ppl = float(np.exp(-logp.sum() / logp.size))
+            else:
+                ppl = v
+            # scrubbed_text is None when nothing changed (the common case):
+            # skipping the Arrow round-trip of unchanged text cuts the UDF
+            # return payload ~8× (JVM side coalesces back to the original)
+            counts = None
+            scrubbed = None
+            if pii_gate.search(text):
+                new_text = text
+                for name, rx, token in rules:
+                    new_text, n = rx.subn(token, new_text)
+                    if n:
+                        counts = counts or {}
+                        counts[name] = n
+                if counts is not None:
+                    scrubbed = new_text
+            return (scrubbed, counts, ppl, lang, lang_score, tox_hits,
+                    tox_score, n_tokens, n_chars, is_blank)
+
+        for s in it:
+            out = [one(t) for t in s.tolist()]
+            yield pd.DataFrame({c: [o[i] for o in out]
+                                for i, c in enumerate(_FEAT_COLS)})
+
+    return F.pandas_udf(batches, returnType=_FEATURES_TYPE)
 
 
 def annotate(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
-    """Attach feature columns; no filtering. One narrow map stage."""
-    scrub = make_scrub_udf(cfg.scrub_profile)
-    ppl = make_perplexity_udf()
-    tox_hits, tox_score = toxicity_exprs("text", cfg.toxicity_keywords)
-    lid = (make_langid_udf()(F.col("text")) if cfg.langid_mode == "udf"
-           else langid_struct_expr("text"))
-    return (
-        df
-        .withColumn("_lid", lid)
-        .withColumn("_scrub", scrub(F.col("text")))
-        .withColumn("perplexity", ppl(F.col("text")))
-        .withColumn("_tox_hits", tox_hits)
-        .withColumn("toxicity_score", tox_score)
-        .withColumn("_n_tokens", token_count_expr("text"))
-        .withColumn("_n_chars", char_len_expr("text"))
-        .withColumn("_is_blank", F.col("text").isNull() | whitespace_only_expr("text"))
-    )
+    """Attach the fused feature struct; no filtering. One narrow map stage,
+    one ArrowEvalPython node."""
+    feats = make_features_udf(cfg.scrub_profile, cfg.toxicity_keywords)
+    return df.select("*", feats(F.col("text")).alias("_feat"))
 
 
 def _drop_reasons(cfg: PipelineConfig) -> Column:
-    flag = lambda cond, name: F.when(cond, F.lit(name))
-    lang_ok = F.col("_lid.lang").isin(*cfg.allowed_langs)
+    # concat of conditional singleton arrays (NOT filter/array_compact):
+    # higher-order functions knock the projection out of whole-stage codegen.
+    flag = lambda cond, name: F.when(cond, F.array(F.lit(name))) \
+                               .otherwise(F.array().cast("array<string>"))
+    blank = F.col("_feat.is_blank")
+    n_tokens = F.col("_feat.n_tokens")
+    lang_ok = F.col("_feat.lang").isin(*cfg.allowed_langs)
     # substantive = long enough to judge language/fluency at all
-    substantive = ~F.col("_is_blank") & (F.col("_n_tokens") >= cfg.min_tokens)
-    return F.array_compact(F.array(
-        flag(F.col("_is_blank"), "empty"),
-        flag(~F.col("_is_blank") & (F.col("_n_tokens") < cfg.min_tokens), "too_short"),
-        flag(F.col("_n_chars") > cfg.max_chars, "too_long"),
+    substantive = ~blank & (n_tokens >= cfg.min_tokens)
+    return F.concat(
+        flag(blank, "empty"),
+        flag(~blank & (n_tokens < cfg.min_tokens), "too_short"),
+        flag(F.col("_feat.n_chars") > cfg.max_chars, "too_long"),
         flag(substantive & ~lang_ok, "non_target_lang"),
         flag(substantive & lang_ok
-             & (F.col("perplexity") > cfg.max_perplexity), "high_perplexity"),
-        flag(F.col("_tox_hits") >= cfg.max_toxicity_hits, "toxicity"),
-    ))
+             & (F.col("_feat.perplexity") > cfg.max_perplexity),
+             "high_perplexity"),
+        flag(F.col("_feat.tox_hits") >= cfg.max_toxicity_hits, "toxicity"),
+    )
 
 
 def decide(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
@@ -99,14 +223,17 @@ def decide(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
         .withColumn("drop_reasons", _drop_reasons(cfg))
         .select(
             "conv_id", "turn_idx", "role",
-            F.col("_lid.lang").alias("lang"),
-            F.col("_lid.lang_score").alias("lang_score"),
-            "perplexity",
-            F.col("_scrub.pii_counts").alias("pii_counts"),
-            "toxicity_score",
+            F.col("_feat.lang").alias("lang"),
+            F.col("_feat.lang_score").alias("lang_score"),
+            F.col("_feat.perplexity").alias("perplexity"),
+            F.coalesce(F.col("_feat.pii_counts"),
+                       F.create_map().cast("map<string,int>"))
+            .alias("pii_counts"),
+            F.col("_feat.toxicity_score").alias("toxicity_score"),
             (F.size("drop_reasons") == 0).alias("keep"),
             "drop_reasons",
-            F.col("_scrub.scrubbed_text").alias("scrubbed_text"),
+            F.coalesce(F.col("_feat.scrubbed_text"), F.col("text"))
+            .alias("scrubbed_text"),
         )
     )
 
