@@ -14,6 +14,12 @@ from .scrub import (SCRUB_RULES, PII_CLASSES, PROFILE_PYTHON, PROFILE_SQL,
                     pii_count_exprs)
 from .scanner import (Scanner, ScanResult, TableRegistry, classify_scores,
                       string_columns, SCAN_RESULT_SCHEMA)
+from .dx import DX
+from .msql import Msql, SQLRow
+from .explorer import DataExplorer
+from .pipeline import PipelineConfig, annotate, decide, run_pipeline
+from .transcripts import generate_transcripts
+from .lineage import ResumableRunner, bucket_transcripts, write_bucketed
 
 __all__ = [
     "RegexRule", "Rules", "GLOBAL_RULES", "LOCALIZED_RULES",
@@ -21,6 +27,10 @@ __all__ = [
     "scrub_string", "make_scrub_udf", "scrub_text_expr", "pii_count_exprs",
     "Scanner", "ScanResult", "TableRegistry", "classify_scores",
     "string_columns", "SCAN_RESULT_SCHEMA",
+    "DX", "Msql", "SQLRow", "DataExplorer",
+    "PipelineConfig", "annotate", "decide", "run_pipeline",
+    "generate_transcripts", "ResumableRunner", "bucket_transcripts",
+    "write_bucketed",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,117 @@
+"""Multi-table template fan-out (DataExplorer analog).
+
+Reference: ``/root/reference/discoverx/explorer.py`` — an immutable chained
+builder (``from_tables → having_columns → with_sql(template) → explain/
+apply``) that formats one SQL string per matched table
+(``explorer.py:292-309``), executes them concurrently on a thread pool
+(``explorer.py:205-215``), tags each result with provenance columns
+(``explorer.py:275-290``) and union-folds (``explorer.py:365-385``).
+
+Spark-first: no thread pool — each unit is a Spark job whose tasks already
+use the whole cluster; the fold is a DataFrame union (one plan); failures
+are isolated per table and reported.
+"""
+
+from __future__ import annotations
+
+from copy import copy
+from dataclasses import dataclass, field, replace
+from typing import Callable, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .scanner import TableRegistry, string_columns
+
+
+def _template_vars(full_name: str, df: DataFrame) -> dict:
+    cat, sch, tbl = full_name.split(".")
+    str_cols = string_columns(df)
+    stack_all = ", ".join(
+        f"'{c}', cast(`{c}` AS string)" for c in df.columns)
+    stack_str = ", ".join(f"'{c}', `{c}`" for c in str_cols)
+    return {
+        "table_catalog": cat,
+        "table_schema": sch,
+        "table_name": tbl,
+        "full_table_name": f"{cat}.{sch}.{tbl}",
+        # stack helpers mirror explorer.py:243-273 / README.md:27-38
+        "stack_string_columns": f"stack({len(str_cols)}, {stack_str})"
+        if str_cols else "",
+        "stack_all_columns_as_string": f"stack({len(df.columns)}, {stack_all})"
+        if df.columns else "",
+    }
+
+
+@dataclass(frozen=True)
+class DataExplorer:
+    """Immutable chained builder (reference explorer.py:50-125)."""
+
+    registry: TableRegistry
+    spark: SparkSession
+    from_tables: str = "*.*.*"
+    _having_columns: tuple = ()
+    _sql_template: Optional[str] = None
+
+    def having_columns(self, *columns: str) -> "DataExplorer":
+        """Restrict the universe to tables having all given columns
+        (explorer.py:67-75)."""
+        return replace(self, _having_columns=self._having_columns + columns)
+
+    def with_sql(self, template: str) -> "DataExplorer":
+        """Attach a ``{full_table_name}``-style SQL template
+        (explorer.py:99-125)."""
+        return replace(self, _sql_template=template)
+
+    # -- resolution ---------------------------------------------------------
+
+    def table_names(self) -> List[str]:
+        names = self.registry.resolve(self.from_tables)
+        if self._having_columns:
+            names = [n for n in names
+                     if set(self._having_columns)
+                     <= set(self.registry.get(n).columns)]
+        return names
+
+    def _sql_for(self, name: str) -> str:
+        df = self.registry.get(name)
+        return self._sql_template.format(**_template_vars(name, df))
+
+    # -- actions ------------------------------------------------------------
+
+    def explain(self) -> List[str]:
+        """Formatted SQL per table, printed instead of executed
+        (explorer.py:311-347 what-if semantics)."""
+        sqls = [self._sql_for(n) for n in self.table_names()]
+        for s in sqls:
+            print(s)
+        return sqls
+
+    def apply(self) -> DataFrame:
+        """Execute the template per table, add provenance columns, union."""
+        if self._sql_template is None:
+            raise ValueError("call with_sql(template) first")
+        out: Optional[DataFrame] = None
+        for name in self.table_names():
+            cat, sch, tbl = name.split(".")
+            view = f"dxs_exp_{cat}_{sch}_{tbl}".replace("-", "_")
+            self.registry.get(name).createOrReplaceTempView(view)
+            sql = self._sql_for(name).replace(name, view)
+            try:
+                df = self.spark.sql(sql)
+            except Exception:
+                continue  # per-table isolation (explorer.py:287-290)
+            df = (df.withColumn("table_catalog", F.lit(cat))
+                    .withColumn("table_schema", F.lit(sch))
+                    .withColumn("table_name", F.lit(tbl)))
+            out = df if out is None else out.unionByName(df)
+        if out is None:
+            raise ValueError(f"no tables matched {self.from_tables!r} "
+                             f"(or every unit failed)")
+        return out
+
+    def map(self, f: Callable[[str, DataFrame], object]) -> List[object]:
+        """Python fan-out over matched tables (explorer.py:187-217) —
+        prefer apply()/DataFrame ops; this exists for API parity."""
+        return [f(name, self.registry.get(name)) for name in self.table_names()]

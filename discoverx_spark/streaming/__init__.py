@@ -1,0 +1,5 @@
+from .pipeline_stream import (decide_stream, run_stream_once,
+                              windowed_keep_metrics, conversation_state_stream)
+
+__all__ = ["decide_stream", "run_stream_once", "windowed_keep_metrics",
+           "conversation_state_stream"]

@@ -1,0 +1,111 @@
+"""Structured Streaming variant of the quality-filter pipeline.
+
+The reference is batch-only (SURVEY §2.9: zero readStream/watermark hits);
+this module is the rebuild's streaming extension: the same fused-UDF
+``decide()`` plan (stateless, narrow) runs unchanged on a stream, plus
+watermarked windowed keep-rate metrics and a custom stateful operator
+(``applyInPandasWithState``) tracking per-conversation running state.
+
+File source + ``availableNow`` trigger gives exactly-once batch-parity
+runs in tests; swap the source/sink for Kafka/Iceberg in production — the
+transformations are source-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..pipeline import PipelineConfig, decide
+from ..transcripts import TRANSCRIPTS_SCHEMA
+
+
+def read_transcripts_stream(spark: SparkSession, input_path: str,
+                            max_files_per_trigger: Optional[int] = None) -> DataFrame:
+    reader = (spark.readStream.schema(TRANSCRIPTS_SCHEMA))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_path)
+
+
+def decide_stream(stream_df: DataFrame,
+                  cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """decide() is stateless+narrow, so the exact batch plan runs on a
+    stream — same fused Arrow UDF, same gates, same output schema."""
+    return decide(stream_df, cfg)
+
+
+def run_stream_once(spark: SparkSession, input_path: str, output_path: str,
+                    checkpoint_path: str,
+                    cfg: PipelineConfig = PipelineConfig()) -> None:
+    """Process all available input files exactly once (availableNow),
+    writing the decisions stream to parquet with a checkpoint — the
+    streaming counterpart of the resumable batch runner: restarting after
+    a kill resumes from the checkpoint without reprocessing."""
+    stream = read_transcripts_stream(spark, input_path)
+    q = (decide_stream(stream, cfg)
+         .writeStream
+         .format("parquet")
+         .option("path", output_path)
+         .option("checkpointLocation", checkpoint_path)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def windowed_keep_metrics(decisions_with_ts: DataFrame,
+                          window: str = "10 minutes",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Watermarked windowed aggregation over the decision stream:
+    keep-rate and PII density per event-time window (late rows beyond the
+    watermark are dropped by the engine)."""
+    return (
+        decisions_with_ts
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window))
+        .agg(F.count("*").alias("n_turns"),
+             F.avg(F.col("keep").cast("int")).alias("keep_rate"),
+             F.avg((F.size(F.map_keys("pii_counts")) > 0).cast("int"))
+             .alias("pii_rate"))
+        .select(F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "n_turns", "keep_rate", "pii_rate")
+    )
+
+
+_CONV_STATE_SCHEMA = T.StructType([
+    T.StructField("n_turns", T.LongType()),
+    T.StructField("n_kept", T.LongType()),
+])
+_CONV_OUT_SCHEMA = ("conv_id string, n_turns long, n_kept long, "
+                    "keep_rate double")
+
+
+def conversation_state_stream(decisions_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-conversation totals via
+    ``applyInPandasWithState`` (processing-time timeout) — the
+    SURVEY §2.10 'custom stateful streaming op' slot."""
+    import pandas as pd
+
+    def update(key, pdfs, state: GroupState):
+        n_turns, n_kept = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            n_kept += int(pdf["keep"].sum())
+        state.update((n_turns, n_kept))
+        yield pd.DataFrame({"conv_id": [key[0]], "n_turns": [n_turns],
+                            "n_kept": [n_kept],
+                            "keep_rate": [n_kept / max(n_turns, 1)]})
+
+    return (decisions_stream
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                update, outputStructType=_CONV_OUT_SCHEMA,
+                stateStructType=_CONV_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -1,0 +1,169 @@
+"""End-to-end facade tests: scan → search → select → delete → msql →
+explorer. Mirrors reference tests/unit/dx_test.py:103-198 and
+msql_test.py:81-238 (compile goldens)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from discoverx_spark.dx import DX
+from discoverx_spark.msql import Msql, SQLRow
+
+
+@pytest.fixture(scope="module")
+def dx(spark):
+    d = DX(spark, locale="us")
+    d.register("main.default.tb_1", spark.createDataFrame(
+        [(1, "1.2.3.4", "00-B0-D0-63-C2-26", "this is a description"),
+         (2, "3.4.5.60", "00-B0-D0-63-C2-24", "some ip address")],
+        "id int, ip string, mac string, description string"))
+    d.register("main.default.tb_2", spark.createDataFrame(
+        [(1, "a@b.org"), (2, "x@y.museum")],
+        "id int, email string"))
+    d.scan(sample_size=None)
+    return d
+
+
+def test_scan_classes(dx):
+    classes = {(c[2], c[3], c[4]) for c in dx.scan_result.get_classes(0.95)}
+    assert ("tb_1", "ip", "ip_v4") in classes
+    assert ("tb_1", "mac", "mac_address") in classes
+    assert ("tb_2", "email", "email") in classes
+
+
+def test_search(dx):
+    hits = dx.search("1.2.3.4", by_class="ip_v4").collect()
+    assert len(hits) == 1
+    assert hits[0]["table_name"] == "tb_1"
+    assert hits[0]["classified"]["ip_v4"] == "1.2.3.4"
+    assert "description" in hits[0]["row_json"]
+
+
+def test_select_by_classes(dx):
+    rows = dx.select_by_classes(by_classes=["email"]).collect()
+    assert {r["table_name"] for r in rows} == {"tb_2"}
+    assert sorted(r["classified"]["email"] for r in rows) == \
+        ["a@b.org", "x@y.museum"]
+
+
+def test_delete_by_class_what_if(dx):
+    summary, plans = dx.delete_by_class("*.*.*", "ip_v4", ["1.2.3.4"])
+    assert plans is None  # what-if: nothing rewritten (dx.py:376-388 guard)
+    row = summary.collect()[0]
+    assert row["num_deleted"] == 1 and row["table"] == "main.default.tb_1"
+
+
+def test_delete_by_class_confirmed(dx):
+    summary, plans = dx.delete_by_class("*.*.*", "ip_v4", ["1.2.3.4"],
+                                        yes_i_am_sure=True)
+    surviving = plans["main.default.tb_1"]
+    assert surviving.count() == 1
+    assert surviving.first()["ip"] == "3.4.5.60"
+
+
+def test_scrub_by_classes(dx):
+    out = dx.scrub_by_classes("main.default.tb_2")
+    df = out["main.default.tb_2"]
+    assert set(r["email"] for r in df.collect()) == {"[REDACTED_EMAIL]"}
+
+
+def test_msql_select(dx):
+    df = dx.msql("SELECT [ip_v4] AS ip, id FROM main.default.tb_1 "
+                 "WHERE [ip_v4] = '1.2.3.4'")
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["ip"] == "1.2.3.4"
+
+
+def test_msql_what_if(dx, capsys):
+    out = dx.msql("SELECT [ip_v4] FROM main.default.tb_1", what_if=True)
+    assert out is None
+    assert "FROM main.default.tb_1" in capsys.readouterr().out
+
+
+# ---------------------------------------------------------------------------
+# Msql compile goldens (reference msql_test.py:106-238 semantics)
+# ---------------------------------------------------------------------------
+
+CLASSIFIED = [
+    ("c", "s", "t1", "email_col", "email"),
+    ("c", "s", "t1", "ip_col", "ip_v4"),
+    ("c", "s", "t2", "email_col_a", "email"),
+    ("c", "s", "t2", "email_col_b", "email"),
+]
+
+
+def test_msql_compile_single():
+    rows = Msql("SELECT [email] FROM c.s.t1").build(CLASSIFIED)
+    assert rows == [SQLRow("c", "s", "t1", "SELECT `email_col` FROM c.s.t1")]
+
+
+def test_msql_compile_cartesian():
+    rows = Msql("SELECT [email] FROM c.s.*").build(CLASSIFIED)
+    assert [r.sql for r in rows] == [
+        "SELECT `email_col` FROM c.s.t1",
+        "SELECT `email_col_a` FROM c.s.t2",
+        "SELECT `email_col_b` FROM c.s.t2",
+    ]
+
+
+def test_msql_compile_multi_class_product():
+    rows = Msql("SELECT [email], [ip_v4] FROM c.s.*").build(CLASSIFIED)
+    # t2 has no ip_v4 → skipped entirely (msql.py:94-100)
+    assert [r.sql for r in rows] == [
+        "SELECT `email_col`, `ip_col` FROM c.s.t1",
+    ]
+
+
+def test_msql_requires_class_and_from():
+    with pytest.raises(ValueError):
+        Msql("SELECT x FROM c.s.t")        # no [class]
+    with pytest.raises(ValueError):
+        Msql("SELECT [email] FROM badname")  # bad FROM
+    with pytest.raises(ValueError):
+        Msql("DROP TABLE [email]")           # command not allowed
+
+
+def test_msql_delete_command_accepted():
+    q = Msql("DELETE FROM c.s.t1 WHERE [ip_v4] = '1.2.3.4'")
+    rows = q.build(CLASSIFIED)
+    assert rows[0].sql == "DELETE FROM c.s.t1 WHERE `ip_col` = '1.2.3.4'"
+
+
+# ---------------------------------------------------------------------------
+# Explorer
+# ---------------------------------------------------------------------------
+
+def test_explorer_template_apply(dx):
+    out = (dx.from_tables("main.default.*")
+           .with_sql("SELECT COUNT(*) AS n FROM {full_table_name}")
+           .apply())
+    rows = {r["table_name"]: r["n"] for r in out.collect()}
+    assert rows == {"tb_1": 2, "tb_2": 2}
+    assert set(out.columns) == {"n", "table_catalog", "table_schema",
+                                "table_name"}
+
+
+def test_explorer_having_columns(dx):
+    ex = dx.from_tables("*.*.*").having_columns("ip", "mac")
+    assert ex.table_names() == ["main.default.tb_1"]
+
+
+def test_explorer_stack_template(dx):
+    out = (dx.from_tables("main.default.tb_1")
+           .with_sql("SELECT {stack_string_columns} AS (col, val) "
+                     "FROM {full_table_name}")
+           .apply())
+    vals = {(r["col"], r["val"]) for r in out.collect()}
+    assert ("ip", "1.2.3.4") in vals and ("mac", "00-B0-D0-63-C2-24") in vals
+
+
+def test_explorer_explain(dx, capsys):
+    sqls = (dx.from_tables("main.default.tb_2")
+            .with_sql("SELECT COUNT(*) AS n FROM {full_table_name}").explain())
+    assert sqls == ["SELECT COUNT(*) AS n FROM main.default.tb_2"]
+    assert "tb_2" in capsys.readouterr().out
+
+
+def test_explorer_map(dx):
+    counts = dict(dx.from_tables("main.default.*")
+                  .map(lambda name, df: (name, df.count())))
+    assert counts["main.default.tb_1"] == 2

@@ -1,0 +1,80 @@
+"""Streaming pipeline tests: availableNow batch-parity, checkpoint resume,
+watermarked windows, custom stateful operator."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from discoverx_spark.pipeline import PipelineConfig, decide
+from discoverx_spark.streaming import (conversation_state_stream,
+                                       decide_stream, run_stream_once,
+                                       windowed_keep_metrics)
+from discoverx_spark.streaming.pipeline_stream import read_transcripts_stream
+from discoverx_spark.transcripts import generate_transcripts
+
+CFG = PipelineConfig()
+
+
+@pytest.fixture(scope="module")
+def input_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "in")
+    generate_transcripts(spark, 60, seed=21).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_stream_matches_batch(spark, input_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_stream_once(spark, input_dir, out, ckpt, CFG)
+    stream_rows = {(r["conv_id"], r["turn_idx"]): (r["keep"], r["scrubbed_text"])
+                   for r in spark.read.parquet(out).collect()}
+    batch_rows = {(r["conv_id"], r["turn_idx"]): (r["keep"], r["scrubbed_text"])
+                  for r in decide(spark.read.parquet(input_dir), CFG).collect()}
+    assert stream_rows == batch_rows
+
+
+def test_stream_checkpoint_resume_no_duplicates(spark, input_dir, tmp_path):
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    run_stream_once(spark, input_dir, out, ckpt, CFG)
+    n1 = spark.read.parquet(out).count()
+    # second run with the same checkpoint: no new input → no new rows
+    run_stream_once(spark, input_dir, out, ckpt, CFG)
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_windowed_keep_metrics(spark, input_dir, tmp_path):
+    stream = read_transcripts_stream(spark, input_dir)
+    decisions = decide_stream(stream, CFG)
+    # re-attach event time (ts survives in the input; decide drops it)
+    src = read_transcripts_stream(spark, input_dir).select("conv_id", "turn_idx", "ts")
+    joined = decisions.join(src, on=["conv_id", "turn_idx"])
+    q = (windowed_keep_metrics(joined, window="1 hour")
+         .writeStream.format("memory").queryName("winmetrics")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM winmetrics").collect()
+    # append mode emits only watermark-closed windows; availableNow single
+    # batch may close none — assert the query ran and schema is right
+    assert {c for c in spark.table("winmetrics").columns} == {
+        "window_start", "window_end", "n_turns", "keep_rate", "pii_rate"}
+
+
+def test_conversation_state_stream(spark, input_dir, tmp_path):
+    stream = read_transcripts_stream(spark, input_dir)
+    decisions = decide_stream(stream, CFG).select("conv_id", "keep")
+    q = (conversation_state_stream(decisions)
+         .writeStream.format("memory").queryName("convstate")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["conv_id"]: (r["n_turns"], r["n_kept"])
+           for r in spark.sql("SELECT * FROM convstate").collect()}
+    exp = {r["conv_id"]: (r["n"], r["k"]) for r in
+           decide(spark.read.parquet(input_dir), CFG)
+           .groupBy("conv_id")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("keep").cast("long")).alias("k")).collect()}
+    # final state per conversation must equal the batch aggregate
+    for conv, (n, k) in exp.items():
+        assert got[conv] == (n, k), conv
