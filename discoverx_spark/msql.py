@@ -111,6 +111,11 @@ class Msql:
         (reference msql.py:114-144). SELECT only — DELETE goes through
         :func:`compile_delete`."""
         rows = self.build(classified_columns)
+        if not rows:
+            raise ValueError(
+                f"no classified tables match {self.from_pattern!r} with "
+                f"classes {self.classes} (run a scan first, or lower "
+                f"min_score)")
         if what_if:
             for r in rows:
                 print(r.sql)

@@ -73,6 +73,11 @@ def test_msql_select(dx):
     assert len(rows) == 1 and rows[0]["ip"] == "1.2.3.4"
 
 
+def test_msql_unknown_class_raises(dx):
+    with pytest.raises(ValueError, match="no classified tables"):
+        dx.msql("SELECT [nonexistent_class] FROM main.default.tb_1")
+
+
 def test_msql_what_if(dx, capsys):
     out = dx.msql("SELECT [ip_v4] FROM main.default.tb_1", what_if=True)
     assert out is None
