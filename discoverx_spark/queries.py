@@ -548,6 +548,88 @@ def q_perplexity_documents(spark, sf_dir):
                        .alias("perplexity"))
 
 
+def q_minhash_neardup_xxhash(spark, sf_dir):
+    """Production-path MinHash near-dup (xxhash64 family, k=16, verified
+    signature agreement) over documents ∪ clones — every doc must pair
+    with its clone at est_jaccard 1.0."""
+    from .operators.dedup import minhash_near_duplicates
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    both = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return minhash_near_duplicates(both, "text", "doc_id", k=16, bands=8,
+                                   threshold=0.7, hash_mode="xxhash64")
+
+
+def q_simhash_neardup(spark, sf_dir):
+    from .operators.dedup import simhash_near_duplicates
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    both = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return simhash_near_duplicates(both, "text", "doc_id", bits=16,
+                                   max_hamming=0)
+
+
+def q_jaccard_verify_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard verification of LSH candidates (scale shape:
+    candidates from banding, exact check only on the candidate set)."""
+    from .operators.dedup import (jaccard_pairs, lsh_candidate_pairs,
+                                  minhash_signatures)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    both = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    sigs = minhash_signatures(both, "text", "doc_id", k=16, hash_mode="xxhash64")
+    cands = lsh_candidate_pairs(sigs, bands=8, k=16)
+    return jaccard_pairs(both, "text", "doc_id", candidates=cands,
+                         threshold=0.9)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate top-k via hyperplane LSH buckets (multi-probe)."""
+    from .operators.similarity import lsh_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10,
+                    n_planes=10, seed=42, dim=64)
+
+
+def q_ivf_assign(spark, sf_dir):
+    """IVF coarse quantization: nearest-centroid assignment (centroids =
+    first 16 vectors)."""
+    from .operators.similarity import ivf_assign
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_assign(emb, emb.filter(F.col("vec_id") < 16))
+
+
+def q_conversation_fingerprints(spark, sf_dir):
+    from .operators.convagg import conversation_fingerprints
+    from .transcripts import generate_transcripts
+    return conversation_fingerprints(generate_transcripts(spark, 300, seed=42))
+
+
+def q_role_alternation(spark, sf_dir):
+    from .operators.convagg import role_alternation_violations
+    from .transcripts import generate_transcripts
+    return role_alternation_violations(generate_transcripts(spark, 300, seed=42))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary media plumbing: deterministic payloads → mapInPandas feature
+    kernel (decode stubbed; batch shape real)."""
+    from .operators.multimodal import attach_fake_media, decode_image_features
+    media = attach_fake_media(spark.range(500), "id", kind="image")
+    return decode_image_features(media)
+
+
+def q_scan_transcripts(spark, sf_dir):
+    """DiscoverX scan applied to the transcripts table itself (classifies
+    the text/role/tool columns against the full US rule set)."""
+    from .transcripts import generate_transcripts
+    turns = generate_transcripts(spark, 300, seed=42)
+    rules = list(GLOBAL_RULES) + list(LOCALIZED_RULES["us"])
+    return classify_scores(turns, rules, columns=["conv_id", "role", "text"],
+                           sample_size=None, table_catalog="main",
+                           table_schema="gen", table_name="transcripts")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -583,4 +665,14 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "transcripts_pipeline": (q_transcripts_pipeline, None),
     "transcripts_conversation_stats": (q_transcripts_conversation_stats, None),
     "perplexity_documents": (q_perplexity_documents, None),
+    # scale-path variants + remaining operators (rows-only checks)
+    "minhash_neardup_xxhash": (q_minhash_neardup_xxhash, None),
+    "simhash_neardup": (q_simhash_neardup, None),
+    "jaccard_verify_pairs": (q_jaccard_verify_pairs, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "ivf_assign": (q_ivf_assign, None),
+    "conversation_fingerprints": (q_conversation_fingerprints, None),
+    "role_alternation": (q_role_alternation, None),
+    "multimodal_features": (q_multimodal_features, None),
+    "scan_transcripts": (q_scan_transcripts, None),
 }
