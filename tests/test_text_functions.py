@@ -1,0 +1,93 @@
+"""Direct tests of functions/text.py expressions and the langid UDF."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from discoverx_spark.functions.text import (alpha_ratio_expr,
+                                            bpe_token_estimate_expr,
+                                            digit_ratio_expr,
+                                            fingerprint_expr,
+                                            langid_struct_expr,
+                                            make_langid_udf,
+                                            normalize_text_expr,
+                                            punct_ratio_expr,
+                                            token_count_expr, toxicity_exprs,
+                                            whitespace_only_expr)
+
+ROWS = [
+    ("hello world, this is the test!",),
+    ("   ",),
+    ("12345 67890",),
+    (None,),
+]
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(ROWS, "t string")
+
+
+def vals(df, expr):
+    return [r["v"] for r in df.select(expr.alias("v")).collect()]
+
+
+def test_token_counts(df):
+    assert vals(df, token_count_expr("t")) == [6, 0, 2, None]
+    # bpe-ish pieces: words + punctuation marks
+    assert vals(df, bpe_token_estimate_expr("t"))[0] == 8  # 6 words + ',' + '!'
+
+
+def test_ratios(df):
+    a = vals(df, alpha_ratio_expr("t"))
+    assert a[0] > 0.7 and a[1] == 0.0 and a[2] == 0.0
+    d = vals(df, digit_ratio_expr("t"))
+    assert d[2] == pytest.approx(10 / 11)
+    p = vals(df, punct_ratio_expr("t"))
+    assert p[0] == pytest.approx(2 / 30)
+
+
+def test_whitespace_only(df):
+    assert vals(df, whitespace_only_expr("t")) == [False, True, False, False]
+
+
+def test_normalize_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("hello world",), ("HELLO\tWORLD ",)], "t string")
+    norms = vals(df, normalize_text_expr("t"))
+    assert len(set(norms)) == 1
+    fps = vals(df, fingerprint_expr("t"))
+    assert len(set(fps)) == 1 and len(fps[0]) == 32
+
+
+def test_langid_expr(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog in the house",),
+         ("der hund und die katze sind nicht da",),
+         ("le chat est dans la maison avec vous",),
+         ("el perro y el gato en la casa",),
+         ("zzz qqq xxx",)], "t string")
+    out = [r["l"]["lang"] for r in
+           df.select(langid_struct_expr("t").alias("l")).collect()]
+    assert out == ["en", "de", "fr", "es", "und"]
+
+
+def test_langid_udf_scripts(spark):
+    udf = make_langid_udf()
+    df = spark.createDataFrame(
+        [("the cat and the dog sat here",),
+         ("Это тест на русском языке",),
+         ("这是一个中文测试句子，用来检测语言",),
+         ("",)], "t string")
+    out = [(r["l"]["lang"]) for r in df.select(udf("t").alias("l")).collect()]
+    assert out == ["en", "ru", "zh", "und"]
+
+
+def test_toxicity(spark):
+    df = spark.createDataFrame(
+        [("you are stupid and dumb",), ("a perfectly nice sentence",),
+         ("SHUT   UP please",)], "t string")
+    hits, score = toxicity_exprs("t")
+    got = [r["h"] for r in df.select(hits.alias("h")).collect()]
+    assert got == [2, 0, 1]
+    custom_hits, _ = toxicity_exprs("t", ["nice"])
+    assert [r["h"] for r in df.select(custom_hits.alias("h")).collect()] == [0, 1, 0]
