@@ -1,0 +1,58 @@
+"""Plan-shape regression tests: the physical-plan properties that make
+these operators scale must not silently regress (SURVEY §4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from discoverx_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name):
+    df = QUERIES[name][0](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 6 needed columns reach the scan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_dim_joins_are_broadcast(spark):
+    plan = plan_of(spark, "top_customer_revenue")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_scan_is_single_pass_partial_agg(spark):
+    plan = plan_of(spark, "scan_documents")
+    # partial + final hash aggregate, exactly one (tiny) exchange
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
+
+
+def test_pipeline_has_one_arrow_stage(spark):
+    from discoverx_spark.pipeline import decide
+    from discoverx_spark.transcripts import generate_transcripts
+
+    plan = decide(generate_transcripts(spark, 10))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1  # fused UDF: one Python pass
+    assert "Exchange" not in plan              # fully narrow until write
+
+
+def test_minhash_signatures_no_shuffle(spark):
+    plan = plan_of(spark, "minhash_signatures_documents")
+    # repartition of the single-file input is the only exchange
+    assert plan.count("Exchange") <= 1
+    assert "ArrowEvalPython" not in plan       # pure JVM projection
+
+
+def test_window_single_exchange(spark):
+    plan = plan_of(spark, "latest_event_per_user")
+    assert plan.count("Exchange") == 1
