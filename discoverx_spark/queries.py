@@ -228,6 +228,84 @@ SELECT * FROM (
 """
 
 
+def q_customers_without_orders(spark, sf_dir):
+    """Left-anti join (absent from the reference — completes the join
+    inventory)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (cust.join(orders, cust["c_custkey"] == orders["o_custkey"],
+                      "left_anti")
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+SQL_CUST_NO_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_parts_with_lineitems(spark, sf_dir):
+    """Left-semi join + aggregate on the surviving side."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (part.join(li, part["p_partkey"] == li["l_partkey"], "left_semi")
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n_parts"),
+                 F.sum(cents("p_retailprice")).alias("sum_price_cents")))
+
+
+SQL_PARTS_SEMI = """
+SELECT p_brand, COUNT(*) AS n_parts,
+       SUM(CAST(round(p_retailprice*100) AS BIGINT)) AS sum_price_cents
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY p_brand
+"""
+
+
+def q_user_sessions(spark, sf_dir):
+    """Sessionization: lag + conditional cumulative sum over the per-user
+    time window (gap > 30 min starts a new session), then per-session
+    aggregates — the classic streaming-adjacent batch window pattern."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # fractional-second epoch on both engines (unix_timestamp truncates,
+    # which could flip a gap test right at the boundary); parquet ts is
+    # TIMESTAMP_NTZ → go through timestamp to reach double
+    epoch = lambda c: c.cast("timestamp").cast("double")
+    gap = epoch(F.col("ts")) - epoch(F.lag("ts").over(w))
+    with_s = (ev
+              .withColumn("new_session",
+                          F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+              .withColumn("session_idx",
+                          F.sum("new_session").over(
+                              w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (with_s.groupBy("user_id", "session_idx")
+            .agg(F.count("*").alias("n_events"),
+                 F.unix_timestamp(F.min("ts")).alias("session_start_epoch"),
+                 F.unix_timestamp(F.max("ts")).alias("session_end_epoch")))
+
+
+SQL_USER_SESSIONS = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+       CAST(floor(epoch(MAX(ts))) AS BIGINT) AS session_end_epoch
+FROM s GROUP BY user_id, session_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # 2. Scan-and-classify engine queries
 # ---------------------------------------------------------------------------
@@ -645,6 +723,9 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "event_props_extract": (q_event_props_extract, SQL_EVENT_PROPS),
     "customer_segments": (q_customer_segments, SQL_CUSTOMER_SEGMENTS),
     "documents_melt": (q_documents_melt, SQL_DOCUMENTS_MELT),
+    "customers_without_orders": (q_customers_without_orders, SQL_CUST_NO_ORDERS),
+    "parts_with_lineitems": (q_parts_with_lineitems, SQL_PARTS_SEMI),
+    "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "search_documents": (q_search_documents, SQL_SEARCH_DOCUMENTS),
     # scan-and-classify engine
     "scan_documents": (q_scan_documents, _sql_scan_documents()),
