@@ -708,6 +708,129 @@ def q_scan_transcripts(spark, sf_dir):
                            table_schema="gen", table_name="transcripts")
 
 
+def q_union_distinct_event_types(spark, sf_dir):
+    """Union fold + DISTINCT (reference msql.py:144 / table_info.py:168)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("value") >= 50).select("event_type")
+    b = ev.filter(F.col("user_id") % 2 == 0).select("event_type")
+    return a.unionByName(b).distinct()
+
+
+SQL_UNION_DISTINCT = """
+SELECT DISTINCT event_type FROM (
+  SELECT event_type FROM events WHERE value >= 50
+  UNION ALL
+  SELECT event_type FROM events WHERE user_id % 2 = 0)
+"""
+
+
+def q_segment_nations_rollup(spark, sf_dir):
+    """collect_set → sorted array rollup (reference scanner.py:194-207
+    collect_list(struct) analog), joined across customer⋈nation; emitted
+    as a joined string for cross-engine hash stability."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (cust.join(F.broadcast(nation),
+                      cust["c_nationkey"] == nation["n_nationkey"])
+            .groupBy("c_mktsegment")
+            .agg(F.array_join(F.sort_array(F.collect_set("n_name")), ",")
+                 .alias("nations"),
+                 F.count("*").alias("n_customers")))
+
+
+SQL_SEGMENT_NATIONS = """
+SELECT c_mktsegment,
+       string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_row_json_export(spark, sf_dir):
+    """Whole-row JSON serialization (reference dx.py:270 to_json(struct(*))
+    — the GDPR right-of-access extract)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.to_json(F.struct("c_custkey", "c_name", "c_mktsegment"))
+        .alias("row_json"))
+
+
+SQL_ROW_JSON = """
+SELECT c_custkey,
+       to_json(struct_pack(c_custkey := c_custkey, c_name := c_name,
+                           c_mktsegment := c_mktsegment)) AS row_json
+FROM customer
+"""
+
+
+def q_scan_events_all_columns(spark, sf_dir):
+    """Cast-to-string scan of non-string columns (reference
+    explorer.py:250-253 'stack all columns as string' variant)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("event_id_s"),
+        F.col("user_id").cast("string").alias("user_id_s"),
+        "event_type", "props")
+    rules = [r for r in ORACLE_RULES
+             if r.name in ("integer_number", "decimal_number", "url", "email")]
+    return classify_scores(ev, rules, columns=["event_id_s", "user_id_s",
+                                               "event_type", "props"],
+                           sample_size=None, table_catalog="main",
+                           table_schema="testdata", table_name="events")
+
+
+def _sql_scan_events_all_columns() -> str:
+    cols = {"event_id_s": "CAST(event_id AS VARCHAR)",
+            "user_id_s": "CAST(user_id AS VARCHAR)",
+            "event_type": "event_type", "props": "props"}
+    names = ("integer_number", "decimal_number", "url", "email")
+    arms = []
+    for alias, expr in cols.items():
+        for r in ORACLE_RULES:
+            if r.name not in names:
+                continue
+            pat = r.pattern.replace("'", "''")
+            arms.append(
+                "SELECT 'main' AS table_catalog, 'testdata' AS table_schema, "
+                "'events' AS table_name, "
+                f"'{alias}' AS column_name, '{r.name}' AS class_name, "
+                f"avg(CAST(regexp_matches({expr}, '{pat}') AS INT)) AS score "
+                "FROM events")
+    return "\nUNION ALL\n".join(arms)
+
+
+def q_table_metadata(spark, sf_dir):
+    """Metadata scan (reference InfoFetcher, table_info.py:107-348): list
+    every testdata table's columns + types from the parquet footers."""
+    rows = []
+    for name in ["region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents", "embeddings"]:
+        df = _t(spark, sf_dir, name)
+        for i, fld in enumerate(df.schema.fields):
+            rows.append(("main", "testdata", name, fld.name,
+                         fld.dataType.simpleString(), i))
+    return spark.createDataFrame(
+        rows, "table_catalog string, table_schema string, table_name string, "
+              "column_name string, data_type string, ordinal int")
+
+
+def q_housekeeping(spark, sf_dir):
+    """File-layout housekeeping stats + recommendation gates (reference
+    delta_housekeeping.py) over a generated partitioned dataset."""
+    import tempfile
+
+    from .sources import housekeeping_recommendations, table_file_stats
+    from .transcripts import generate_transcripts
+
+    tmp = tempfile.mkdtemp(prefix="dxs_hk_")
+    df = generate_transcripts(spark, 200, seed=42)
+    df.withColumn("part", F.pmod(F.xxhash64("conv_id"), F.lit(4))) \
+      .repartition(2, "part").write.mode("overwrite") \
+      .partitionBy("part").parquet(tmp)
+    return housekeeping_recommendations(table_file_stats(spark, tmp, "hk"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -756,4 +879,13 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "role_alternation": (q_role_alternation, None),
     "multimodal_features": (q_multimodal_features, None),
     "scan_transcripts": (q_scan_transcripts, None),
+    # remaining SURVEY §2 rows
+    "union_distinct_event_types": (q_union_distinct_event_types,
+                                   SQL_UNION_DISTINCT),
+    "segment_nations_rollup": (q_segment_nations_rollup, SQL_SEGMENT_NATIONS),
+    "row_json_export": (q_row_json_export, SQL_ROW_JSON),
+    "scan_events_all_columns": (q_scan_events_all_columns,
+                                _sql_scan_events_all_columns()),
+    "table_metadata": (q_table_metadata, None),
+    "housekeeping": (q_housekeeping, None),
 }
