@@ -15,9 +15,39 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 
 from discoverx_spark.queries import QUERIES  # noqa: E402
+
+_SHIPPED = set()
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Python workers unpickle UDFs by module reference, so they must be
+    able to ``import discoverx_spark`` even when the driver process was
+    launched without this repo on PYTHONPATH — ship the package as a zip
+    via addPyFile (the spark-submit --py-files mechanism)."""
+    key = spark.sparkContext.applicationId
+    if key in _SHIPPED:
+        return
+    try:
+        import tempfile
+        import zipfile
+
+        zpath = os.path.join(tempfile.gettempdir(), "discoverx_spark_pkg.zip")
+        if not os.path.exists(zpath):
+            with zipfile.ZipFile(zpath, "w") as z:
+                pkg = os.path.join(_REPO, "discoverx_spark")
+                for root, _dirs, files in os.walk(pkg):
+                    for f in files:
+                        if f.endswith(".py"):
+                            full = os.path.join(root, f)
+                            z.write(full, os.path.relpath(full, _REPO))
+        spark.sparkContext.addPyFile(zpath)
+        _SHIPPED.add(key)
+    except Exception:
+        pass  # best effort; direct PYTHONPATH still works
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -26,6 +56,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     from discoverx_spark.pipeline import decide
 
+    _ensure_workers_can_import(spark)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     turns = docs.select(
         F.col("doc_id").cast("string").alias("conv_id"),
@@ -40,7 +71,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: fn for name, (fn, _sql) in QUERIES.items()}
+
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_workers_can_import(spark)
+            return fn(spark, sf_dir)
+        return run
+
+    return {name: wrap(fn) for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
