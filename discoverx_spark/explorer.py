@@ -52,12 +52,18 @@ class DataExplorer:
     spark: SparkSession
     from_tables: str = "*.*.*"
     _having_columns: tuple = ()
+    _having_tags: tuple = ()
     _sql_template: Optional[str] = None
 
     def having_columns(self, *columns: str) -> "DataExplorer":
         """Restrict the universe to tables having all given columns
         (explorer.py:67-75)."""
         return replace(self, _having_columns=self._having_columns + columns)
+
+    def having_tag(self, key: str, value: Optional[str] = None) -> "DataExplorer":
+        """Restrict to tables carrying a governance tag (reference
+        with_tags / TagsInfo filters, table_info.py:237-317)."""
+        return replace(self, _having_tags=self._having_tags + ((key, value),))
 
     def with_sql(self, template: str) -> "DataExplorer":
         """Attach a ``{full_table_name}``-style SQL template
@@ -72,6 +78,10 @@ class DataExplorer:
             names = [n for n in names
                      if set(self._having_columns)
                      <= set(self.registry.get(n).columns)]
+        for key, value in self._having_tags:
+            names = [n for n in names
+                     if key in self.registry.tags(n)
+                     and (value is None or self.registry.tags(n)[key] == value)]
         return names
 
     def _sql_for(self, name: str) -> str:

@@ -152,15 +152,23 @@ class TableRegistry:
 
     def __init__(self):
         self._tables: Dict[str, Callable[[], DataFrame]] = {}
+        self._tags: Dict[str, Dict[str, str]] = {}
 
     def register(self, full_name: str,
-                 df_or_supplier: Union[DataFrame, Callable[[], DataFrame]]) -> None:
+                 df_or_supplier: Union[DataFrame, Callable[[], DataFrame]],
+                 tags: Optional[Dict[str, str]] = None) -> None:
         if full_name.count(".") != 2:
             raise ValueError(f"expected catalog.schema.table, got {full_name!r}")
         if isinstance(df_or_supplier, DataFrame):
             self._tables[full_name] = (lambda d=df_or_supplier: d)
         else:
             self._tables[full_name] = df_or_supplier
+        if tags:
+            self._tags[full_name] = dict(tags)
+
+    def tags(self, full_name: str) -> Dict[str, str]:
+        """Governance tags (reference TagsInfo, table_info.py:15-33)."""
+        return dict(self._tags.get(full_name, {}))
 
     def resolve(self, pattern: str) -> List[str]:
         """Wildcard resolution per component (reference msql.py:165-174 +

@@ -168,6 +168,20 @@ def test_explorer_explain(dx, capsys):
     assert "tb_2" in capsys.readouterr().out
 
 
+def test_explorer_having_tag(spark):
+    from discoverx_spark.dx import DX
+    d = DX(spark)
+    d.registry.register("c.s.pii_table", spark.createDataFrame(
+        [(1, "a@b.org")], "id int, email string"), tags={"pii": "true"})
+    d.registry.register("c.s.clean_table", spark.createDataFrame(
+        [(1, "x")], "id int, v string"), tags={"pii": "false"})
+    ex = d.from_tables("c.s.*")
+    assert ex.having_tag("pii", "true").table_names() == ["c.s.pii_table"]
+    assert sorted(ex.having_tag("pii").table_names()) == \
+        ["c.s.clean_table", "c.s.pii_table"]
+    assert d.registry.tags("c.s.pii_table") == {"pii": "true"}
+
+
 def test_explorer_map(dx):
     counts = dict(dx.from_tables("main.default.*")
                   .map(lambda name, df: (name, df.count())))
