@@ -5,7 +5,7 @@ from .dedup import (tokens_expr, shingles_expr, exact_duplicates, dedup_exact,
                     lsh_candidate_pairs, minhash_near_duplicates,
                     jaccard_pairs, simhash_expr, simhash_near_duplicates)
 from .similarity import (dot_expr, norm_expr, cosine_expr, brute_force_topk,
-                         embedding_near_duplicates, lsh_topk, ivf_assign,
+                         embedding_near_duplicates, lsh_topk, ivf_assign, ivf_topk,
                          lsh_signature_expr)
 
 __all__ = [
@@ -16,6 +16,6 @@ __all__ = [
     "minhash_near_duplicates", "jaccard_pairs", "simhash_expr",
     "simhash_near_duplicates",
     "dot_expr", "norm_expr", "cosine_expr", "brute_force_topk",
-    "embedding_near_duplicates", "lsh_topk", "ivf_assign",
+    "embedding_near_duplicates", "lsh_topk", "ivf_assign", "ivf_topk",
     "lsh_signature_expr",
 ]

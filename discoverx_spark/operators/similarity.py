@@ -134,6 +134,45 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
+def ivf_topk(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+             k: int = 10, probes: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF search: score only corpus vectors whose coarse cell is among the
+    query's ``probes`` nearest centroids.  At scale the corpus is written
+    partitioned by ``centroid_id`` so the probe join prunes partitions;
+    here the assignment joins inline."""
+    from pyspark.sql.window import Window
+
+    assign = ivf_assign(corpus, centroids, id_col, vec_col) \
+        .withColumnRenamed("id", "neighbor_id")
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec")) \
+        .join(assign, on="neighbor_id")
+
+    cent = centroids.select(F.col(id_col).alias("centroid_id"),
+                            F.col(vec_col).alias("cent_vec"))
+    q_scored = (queries.select(F.col(id_col).alias("query_id"),
+                               F.col(vec_col).alias("q_vec"))
+                .crossJoin(F.broadcast(cent))
+                .select("query_id", "q_vec", "centroid_id",
+                        cosine_expr(F.col("q_vec"), F.col("cent_vec")).alias("sim")))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    q_probes = (q_scored.withColumn("rn", F.row_number().over(wq))
+                .filter(F.col("rn") <= probes)
+                .select("query_id", "q_vec", "centroid_id"))
+
+    scored = (c.join(F.broadcast(q_probes), on="centroid_id")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6)
+                      .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
 def ivf_assign(corpus: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest centroid (broadcast centroids).

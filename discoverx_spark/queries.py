@@ -677,6 +677,14 @@ def q_ivf_assign(spark, sf_dir):
     return ivf_assign(emb, emb.filter(F.col("vec_id") < 16))
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF search: probe the 4 nearest coarse cells per query."""
+    from .operators.similarity import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 16),
+                    emb.filter(F.col("vec_id") < 3), k=5, probes=4)
+
+
 def q_conversation_fingerprints(spark, sf_dir):
     from .operators.convagg import conversation_fingerprints
     from .transcripts import generate_transcripts
@@ -875,6 +883,7 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "jaccard_verify_pairs": (q_jaccard_verify_pairs, None),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "ivf_assign": (q_ivf_assign, None),
+    "ivf_topk": (q_ivf_topk, None),
     "conversation_fingerprints": (q_conversation_fingerprints, None),
     "role_alternation": (q_role_alternation, None),
     "multimodal_features": (q_multimodal_features, None),

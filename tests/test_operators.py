@@ -133,6 +133,16 @@ def test_lsh_topk_finds_planted_neighbor(embeddings):
     assert rows and rows[0]["neighbor_id"] == 1
 
 
+def test_ivf_topk_finds_planted_neighbor(embeddings):
+    from discoverx_spark.operators import ivf_topk
+    df, _ = embeddings
+    out = ivf_topk(df, df.filter(F.col("vec_id") < 6),
+                   df.filter(F.col("vec_id") == 0), k=3, probes=3)
+    rows = out.orderBy("rank").collect()
+    # vec 1 is a near-clone of vec 0 → same coarse cell → found at rank 1
+    assert rows and rows[0]["neighbor_id"] == 1
+
+
 # --------------------------------------------------------------------------
 # Conversation aggregates
 # --------------------------------------------------------------------------
