@@ -1,16 +1,18 @@
 from .convagg import (conversation_stats, conversation_fingerprints,
-                      with_conversation_stats, role_alternation_violations)
+                      with_conversation_stats, role_alternation_violations,
+                      dedup_conversations)
 from .dedup import (tokens_expr, shingles_expr, exact_duplicates, dedup_exact,
                     minhash_signatures, minhash_signature_exprs,
                     lsh_candidate_pairs, minhash_near_duplicates,
                     jaccard_pairs, simhash_expr, simhash_near_duplicates)
 from .similarity import (dot_expr, norm_expr, cosine_expr, brute_force_topk,
-                         embedding_near_duplicates, lsh_topk, ivf_assign, ivf_topk,
+                         embedding_near_duplicates, lsh_topk, ivf_assign, ivf_topk, lsh_near_duplicates,
                          lsh_signature_expr)
 
 __all__ = [
     "conversation_stats", "conversation_fingerprints",
     "with_conversation_stats", "role_alternation_violations",
+    "dedup_conversations", "lsh_near_duplicates",
     "tokens_expr", "shingles_expr", "exact_duplicates", "dedup_exact",
     "minhash_signatures", "minhash_signature_exprs", "lsh_candidate_pairs",
     "minhash_near_duplicates", "jaccard_pairs", "simhash_expr",

@@ -106,6 +106,18 @@ def with_conversation_stats(turns: DataFrame, salt_buckets: int = 8,
     return turns.join(s, on="conv_id", how="left")
 
 
+def dedup_conversations(turns: DataFrame) -> DataFrame:
+    """Conversation-level exact dedup: keep one conversation (min conv_id)
+    per whole-conversation fingerprint; returns the surviving turns.
+
+    Scale shape: fingerprint agg (one shuffle on conv_id) → tiny keep-list
+    → left-semi join back (AQE broadcasts the keep side when small)."""
+    fps = conversation_fingerprints(turns)
+    keep = (fps.groupBy("conv_fingerprint")
+            .agg(F.min("conv_id").alias("conv_id")))
+    return turns.join(keep.select("conv_id"), on="conv_id", how="left_semi")
+
+
 def role_alternation_violations(turns: DataFrame) -> DataFrame:
     """Turns whose role equals the previous turn's role (lag over the
     stable (conv_id, turn_idx) window — SURVEY §2.5 rebuild usage)."""

@@ -173,6 +173,28 @@ def ivf_topk(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
+def lsh_near_duplicates(df: DataFrame, threshold: float = 0.95,
+                        n_planes: int = 14, seed: int = 42,
+                        dim: Optional[int] = None, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup pairs at scale: bucket by hyperplane signature,
+    compare only same-bucket pairs (near-identical vectors share all sign
+    bits with high probability).  Shuffles (id, bucket) only; the exact
+    cosine check runs within buckets."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                    lsh_signature_expr(F.col(vec_col), planes).alias("bucket"))
+    a, b = sig.alias("a"), sig.alias("b")
+    return (a.join(b, on="bucket").filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6)
+                    .alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+            .distinct())
+
+
 def ivf_assign(corpus: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest centroid (broadcast centroids).

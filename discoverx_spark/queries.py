@@ -691,6 +691,27 @@ def q_conversation_fingerprints(spark, sf_dir):
     return conversation_fingerprints(generate_transcripts(spark, 300, seed=42))
 
 
+def q_dedup_conversations(spark, sf_dir):
+    """Conversation-level exact dedup over generated transcripts plus one
+    cloned conversation block (clones must be removed)."""
+    from .operators.convagg import dedup_conversations
+    from .transcripts import generate_transcripts
+    turns = generate_transcripts(spark, 200, seed=42)
+    clones = turns.filter(F.col("conv_id") < "conv-42-00000050") \
+        .withColumn("conv_id", F.concat(F.lit("zz-"), F.col("conv_id")))
+    return dedup_conversations(turns.unionByName(clones))
+
+
+def q_embedding_lsh_neardup(spark, sf_dir):
+    """Bucketed embedding near-dup over embeddings ∪ clones."""
+    from .operators.similarity import lsh_near_duplicates
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    both = emb.unionByName(
+        emb.filter(F.col("vec_id") < 100)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
+    return lsh_near_duplicates(both, threshold=0.99, dim=64)
+
+
 def q_role_alternation(spark, sf_dir):
     from .operators.convagg import role_alternation_violations
     from .transcripts import generate_transcripts
@@ -885,6 +906,8 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "ivf_assign": (q_ivf_assign, None),
     "ivf_topk": (q_ivf_topk, None),
     "conversation_fingerprints": (q_conversation_fingerprints, None),
+    "dedup_conversations": (q_dedup_conversations, None),
+    "embedding_lsh_neardup": (q_embedding_lsh_neardup, None),
     "role_alternation": (q_role_alternation, None),
     "multimodal_features": (q_multimodal_features, None),
     "scan_transcripts": (q_scan_transcripts, None),

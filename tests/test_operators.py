@@ -177,6 +177,29 @@ def test_with_conversation_stats_join(spark):
     assert r["n_turns"] >= 2
 
 
+def test_dedup_conversations(spark):
+    from discoverx_spark.operators import dedup_conversations
+    rows = [("a", 0, "u", "hello there", None, None),
+            ("a", 1, "as", "hi back", None, None),
+            ("b", 0, "u", "hello there", None, None),   # clone of a
+            ("b", 1, "as", "hi back", None, None),
+            ("c", 0, "u", "different", None, None)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    kept = dedup_conversations(df)
+    assert sorted(set(r["conv_id"] for r in kept.collect())) == ["a", "c"]
+    assert kept.count() == 3
+
+
+def test_embedding_lsh_near_duplicates(embeddings):
+    from discoverx_spark.operators import lsh_near_duplicates
+    df, _ = embeddings
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             lsh_near_duplicates(df, threshold=0.98, n_planes=8, dim=8).collect()}
+    assert (0, 1) in pairs  # the planted near-clone shares its bucket
+
+
 def test_role_alternation(spark):
     rows = [("a", 0, "user"), ("a", 1, "user"), ("a", 2, "assistant")]
     df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
