@@ -1,6 +1,7 @@
 from .convagg import (conversation_stats, conversation_fingerprints,
                       with_conversation_stats, role_alternation_violations,
-                      dedup_conversations)
+                      dedup_conversations, conversation_minhash_signatures,
+                      conversation_near_duplicates)
 from .dedup import (tokens_expr, shingles_expr, exact_duplicates, dedup_exact,
                     minhash_signatures, minhash_signature_exprs,
                     lsh_candidate_pairs, minhash_near_duplicates,
@@ -13,6 +14,7 @@ __all__ = [
     "conversation_stats", "conversation_fingerprints",
     "with_conversation_stats", "role_alternation_violations",
     "dedup_conversations", "lsh_near_duplicates",
+    "conversation_minhash_signatures", "conversation_near_duplicates",
     "tokens_expr", "shingles_expr", "exact_duplicates", "dedup_exact",
     "minhash_signatures", "minhash_signature_exprs", "lsh_candidate_pairs",
     "minhash_near_duplicates", "jaccard_pairs", "simhash_expr",

@@ -106,6 +106,45 @@ def with_conversation_stats(turns: DataFrame, salt_buckets: int = 8,
     return turns.join(s, on="conv_id", how="left")
 
 
+def conversation_minhash_signatures(turns: DataFrame, k: int = 16,
+                                    hash_mode: str = "xxhash64") -> DataFrame:
+    """Per-conversation MinHash over the *set of turn fingerprints*
+    (north-star conv-level dedup signature): ``mh_i = min over turns of
+    h_i(turn_fingerprint)``.
+
+    Fully algebraic — computed as k ``min`` aggregates over per-turn
+    hashes, so it rides the same salted/partial-aggregation path as every
+    other conv aggregate and two conversations sharing most turns (any
+    order) get mostly-equal signatures."""
+    from .dedup import _hash_fn
+
+    fp = fingerprint_expr("text")
+    per_turn = turns.select(
+        F.col("conv_id").alias("id"),
+        *[_hash_fn(hash_mode, i)(fp).alias(f"h_{i}") for i in range(k)])
+    return per_turn.groupBy("id").agg(
+        *[F.min(f"h_{i}").alias(f"mh_{i}") for i in range(k)])
+
+
+def conversation_near_duplicates(turns: DataFrame, k: int = 16,
+                                 bands: int = 8, threshold: float = 0.7,
+                                 hash_mode: str = "xxhash64") -> DataFrame:
+    """Near-duplicate conversation pairs via conv-level MinHash + LSH
+    banding + signature-agreement verification."""
+    from .dedup import lsh_candidate_pairs
+
+    sigs = conversation_minhash_signatures(turns, k, hash_mode)
+    cands = lsh_candidate_pairs(sigs, bands=bands, k=k)
+    a, b = sigs.alias("sa"), sigs.alias("sb")
+    agree = sum((F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}")).cast("int")
+                for i in range(k))
+    return (cands
+            .join(a, cands["id_a"] == F.col("sa.id"))
+            .join(b, cands["id_b"] == F.col("sb.id"))
+            .select("id_a", "id_b", (agree / F.lit(k)).alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold))
+
+
 def dedup_conversations(turns: DataFrame) -> DataFrame:
     """Conversation-level exact dedup: keep one conversation (min conv_id)
     per whole-conversation fingerprint; returns the surviving turns.

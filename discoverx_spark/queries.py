@@ -702,6 +702,19 @@ def q_dedup_conversations(spark, sf_dir):
     return dedup_conversations(turns.unionByName(clones))
 
 
+def q_conversation_near_duplicates(spark, sf_dir):
+    """Conv-level MinHash near-dup: transcripts plus cloned conversations
+    with one turn dropped (near- but not exact-duplicates)."""
+    from .operators.convagg import conversation_near_duplicates
+    from .transcripts import generate_transcripts
+    turns = generate_transcripts(spark, 150, seed=42)
+    near_clones = (turns.filter(F.col("conv_id") < "conv-42-00000040")
+                   .filter(F.col("turn_idx") > 0)
+                   .withColumn("conv_id", F.concat(F.lit("zz-"), F.col("conv_id"))))
+    return conversation_near_duplicates(turns.unionByName(near_clones),
+                                        threshold=0.6)
+
+
 def q_embedding_lsh_neardup(spark, sf_dir):
     """Bucketed embedding near-dup over embeddings ∪ clones."""
     from .operators.similarity import lsh_near_duplicates
@@ -907,6 +920,7 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "ivf_topk": (q_ivf_topk, None),
     "conversation_fingerprints": (q_conversation_fingerprints, None),
     "dedup_conversations": (q_dedup_conversations, None),
+    "conversation_near_duplicates": (q_conversation_near_duplicates, None),
     "embedding_lsh_neardup": (q_embedding_lsh_neardup, None),
     "role_alternation": (q_role_alternation, None),
     "multimodal_features": (q_multimodal_features, None),

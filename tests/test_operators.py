@@ -200,6 +200,23 @@ def test_embedding_lsh_near_duplicates(embeddings):
     assert (0, 1) in pairs  # the planted near-clone shares its bucket
 
 
+def test_conversation_near_duplicates(spark):
+    from discoverx_spark.operators import conversation_near_duplicates
+    from discoverx_spark.transcripts import generate_transcripts
+    turns = generate_transcripts(spark, 40, seed=13)
+    # near-clone: same conversation minus its first turn
+    clones = (turns.filter(F.col("conv_id") < "conv-13-00000010")
+              .filter(F.col("turn_idx") > 0)
+              .withColumn("conv_id", F.concat(F.lit("zz-"), F.col("conv_id"))))
+    pairs = conversation_near_duplicates(
+        turns.unionByName(clones), threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # every cloned conversation pairs with its original
+    for i in range(10):
+        orig = f"conv-13-{i:08d}"
+        assert any(orig in p and f"zz-{orig}" in p for p in found), orig
+
+
 def test_role_alternation(spark):
     rows = [("a", 0, "user"), ("a", 1, "user"), ("a", 2, "assistant")]
     df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
