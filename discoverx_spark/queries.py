@@ -28,9 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .functions.text import (LANG_STOPWORDS, _LANG_ORDER, bpe_token_estimate_expr,
-                             fingerprint_expr, langid_sql_exprs,
-                             langid_struct_expr, normalize_text_expr,
+from .functions.text import (bpe_token_estimate_expr, fingerprint_expr,
+                             langid_sql_exprs, langid_struct_expr,
                              token_count_expr)
 from .operators.dedup import (lsh_candidate_pairs, minhash_signatures,
                               simhash_expr)

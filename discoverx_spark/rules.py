@@ -15,7 +15,7 @@ unanchored, boundary-guarded scrub patterns (:mod:`discoverx_spark.scrub`).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from fnmatch import fnmatch
 from typing import Iterable, Optional
 

@@ -13,7 +13,6 @@ transformations are source-agnostic.
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
