@@ -57,15 +57,23 @@ def classify_scores(
     rules: Sequence[RegexRule],
     columns: Optional[Sequence[str]] = None,
     sample_size: Optional[int] = 10000,
+    sample_fraction: Optional[float] = None,
+    seed: int = 42,
     table_catalog: str = "",
     table_schema: str = "",
     table_name: str = "",
 ) -> DataFrame:
     """Per-(column, rule) match-fraction scores in one aggregate pass.
 
-    ``score = avg(int(regexp_like(col, rule)))`` over up to ``sample_size``
-    rows — numerically identical to the reference's ``sum(value)/count(value)``
+    ``score = avg(int(regexp_like(col, rule)))`` over the sample —
+    numerically identical to the reference's ``sum(value)/count(value)``
     (scanner.py:325): nulls drop out of both numerator and denominator.
+
+    Sampling: ``sample_size`` mirrors the reference's ``TABLESAMPLE
+    (N ROWS)`` (scanner.py:338) — a row-count limit, cheap but read-order
+    biased.  ``sample_fraction`` is the 100 TB-correct alternative:
+    seeded Bernoulli sampling pushed into the scan, unbiased across
+    partitions.  Passing both uses the fraction.
     """
     cols = list(columns) if columns is not None else string_columns(df)
     if not cols:
@@ -74,7 +82,9 @@ def classify_scores(
         raise ValueError("no rules to scan for")
 
     scan = df.select(*[F.col(c) for c in cols])
-    if sample_size is not None:
+    if sample_fraction is not None:
+        scan = scan.sample(fraction=float(sample_fraction), seed=seed)
+    elif sample_size is not None:
         scan = scan.limit(int(sample_size))  # TABLESAMPLE (N ROWS) analog, scanner.py:338
 
     aggs, meta = [], []

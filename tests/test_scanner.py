@@ -58,6 +58,20 @@ def test_classify_scores_all_null(spark):
     assert d[("v", "ip_v4")] is None
 
 
+def test_sample_fraction(spark):
+    df = spark.range(2000).select(
+        F.when(F.col("id") % 2 == 0, F.lit("1.2.3.4")).otherwise(F.lit("x"))
+        .alias("v"))
+    rules = Rules().get_rules("ip_v4")
+    d = scores_dict(classify_scores(df, rules, sample_fraction=0.5,
+                                    table_name="t"))
+    assert d[("v", "ip_v4")] == pytest.approx(0.5, abs=0.1)
+    # deterministic under a fixed seed
+    d2 = scores_dict(classify_scores(df, rules, sample_fraction=0.5,
+                                     table_name="t"))
+    assert d == d2
+
+
 def test_sample_size_limits_rows(spark):
     df = spark.range(100).select(
         F.when(F.col("id") < 50, F.lit("1.2.3.4")).otherwise(F.lit("x")).alias("v"))
