@@ -80,6 +80,104 @@ _FEATURES_TYPE = T.StructType([
 _FEAT_COLS = [f.name for f in _FEATURES_TYPE.fields]
 
 
+def make_row_scorer(scrub_profile: str = PROFILE_PYTHON,
+                    toxicity_keywords: Optional[Tuple[str, ...]] = None):
+    """Build the per-row feature closure shared by the Arrow UDF (one
+    instance per Python worker) and the driver-side reference scorer used
+    by tests and the correctness oracle.  Returns ``one(text) -> tuple``
+    in ``_FEAT_COLS`` order."""
+    import re as _re
+
+    kws = list(toxicity_keywords) if toxicity_keywords is not None else TOXIC_KEYWORDS
+    rules = _compiled(scrub_profile)
+    lm = _ppl.CHAR_LM
+    v = float(_ppl.V)
+    # stopword → bitmask over _LANG_ORDER: one dict probe per word
+    # instead of four set probes
+    word_langs = {}
+    for li, l in enumerate(_LANG_ORDER):
+        for w in LANG_STOPWORDS[l]:
+            word_langs[w] = word_langs.get(w, 0) | (1 << li)
+    tox_rx = _re.compile(
+        r"\b(?:" + "|".join(k.replace(" ", r"\s+") for k in kws) + r")\b")
+    strip_chars = ".,;:!?\"'()"
+    # every scrub pattern requires '@', ':', '/', or a digit — one cheap
+    # C-level scan rejects the (common) PII-free rows before 7 regex subs
+    pii_gate = _re.compile(r"[@:/0-9]")
+
+    def lang_of(text, words):
+        # script detection only for non-ASCII text (isascii is C-speed)
+        if not text.isascii():
+            counts = {}
+            for ch in text:
+                cp = ord(ch)
+                if cp < 0x300:
+                    continue
+                for lang, lo, hi in _SCRIPTS:
+                    if lo <= cp <= hi:
+                        counts[lang] = counts.get(lang, 0) + 1
+                        break
+            if counts:
+                best = max(sorted(counts), key=counts.get)
+                frac = counts[best] / max(len(text), 1)
+                if frac > 0.15:
+                    return best, min(1.0, frac * 2)
+        if not words:
+            return "und", 0.0
+        masks = [0, 0, 0, 0]
+        for w in words:
+            m = word_langs.get(w)
+            if m is None and w and w[-1] in strip_chars:
+                m = word_langs.get(w.strip(strip_chars))
+            if m:
+                for li in range(4):
+                    if m & (1 << li):
+                        masks[li] += 1
+        best_li, best_hits = 0, 0
+        for li in range(4):
+            if masks[li] > best_hits:
+                best_li, best_hits = li, masks[li]
+        if best_hits == 0:
+            return "und", 0.0
+        return _LANG_ORDER[best_li], min(1.0, best_hits / len(words) * 2)
+
+    def one(text):
+        if text is None:
+            return (None, {}, v, "und", 0.0, 0, 0.0, 0, 0, True)
+        lowered = text.lower()
+        words = lowered.split()
+        n_tokens = len(words)
+        n_chars = len(text)
+        is_blank = not text.strip()
+        lang, lang_score = lang_of(text, words)
+        tox_hits = len(tox_rx.findall(lowered))
+        tox_score = tox_hits / max(n_tokens, 1)
+        ids = _ppl._ids(text, lowered)  # perplexity: ORIGINAL text
+        if ids.size >= 2:
+            logp = lm[ids[:-1], ids[1:]]
+            ppl = float(np.exp(-logp.sum() / logp.size))
+        else:
+            ppl = v
+        # scrubbed_text is None when nothing changed (the common case):
+        # skipping the Arrow round-trip of unchanged text cuts the UDF
+        # return payload ~8× (JVM side coalesces back to the original)
+        counts = None
+        scrubbed = None
+        if pii_gate.search(text):
+            new_text = text
+            for name, rx, token in rules:
+                new_text, n = rx.subn(token, new_text)
+                if n:
+                    counts = counts or {}
+                    counts[name] = n
+            if counts is not None:
+                scrubbed = new_text
+        return (scrubbed, counts, ppl, lang, lang_score, tox_hits,
+                tox_score, n_tokens, n_chars, is_blank)
+
+    return one
+
+
 def make_features_udf(scrub_profile: str = PROFILE_PYTHON,
                       toxicity_keywords: Optional[Tuple[str, ...]] = None):
     """Single Arrow-batched UDF: scrub + pii counts + perplexity + language
@@ -87,97 +185,9 @@ def make_features_udf(scrub_profile: str = PROFILE_PYTHON,
     Python pass per batch.  All compiled state is built once per worker
     (iterator-of-series lifecycle, reference
     examples/pii_detection_presidio.py:117-128)."""
-    import re as _re
-
-    kws = list(toxicity_keywords) if toxicity_keywords is not None else TOXIC_KEYWORDS
 
     def batches(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-        rules = _compiled(scrub_profile)
-        lm = _ppl.CHAR_LM
-        v = float(_ppl.V)
-        # stopword → bitmask over _LANG_ORDER: one dict probe per word
-        # instead of four set probes
-        word_langs = {}
-        for li, l in enumerate(_LANG_ORDER):
-            for w in LANG_STOPWORDS[l]:
-                word_langs[w] = word_langs.get(w, 0) | (1 << li)
-        tox_rx = _re.compile(
-            r"\b(?:" + "|".join(k.replace(" ", r"\s+") for k in kws) + r")\b")
-        strip_chars = ".,;:!?\"'()"
-        # every scrub pattern requires '@', ':', '/', or a digit — one cheap
-        # C-level scan rejects the (common) PII-free rows before 7 regex subs
-        pii_gate = _re.compile(r"[@:/0-9]")
-
-        def lang_of(text, words):
-            # script detection only for non-ASCII text (isascii is C-speed)
-            if not text.isascii():
-                counts = {}
-                for ch in text:
-                    cp = ord(ch)
-                    if cp < 0x300:
-                        continue
-                    for lang, lo, hi in _SCRIPTS:
-                        if lo <= cp <= hi:
-                            counts[lang] = counts.get(lang, 0) + 1
-                            break
-                if counts:
-                    best = max(sorted(counts), key=counts.get)
-                    frac = counts[best] / max(len(text), 1)
-                    if frac > 0.15:
-                        return best, min(1.0, frac * 2)
-            if not words:
-                return "und", 0.0
-            masks = [0, 0, 0, 0]
-            for w in words:
-                m = word_langs.get(w)
-                if m is None and w and w[-1] in strip_chars:
-                    m = word_langs.get(w.strip(strip_chars))
-                if m:
-                    for li in range(4):
-                        if m & (1 << li):
-                            masks[li] += 1
-            best_li, best_hits = 0, 0
-            for li in range(4):
-                if masks[li] > best_hits:
-                    best_li, best_hits = li, masks[li]
-            if best_hits == 0:
-                return "und", 0.0
-            return _LANG_ORDER[best_li], min(1.0, best_hits / len(words) * 2)
-
-        def one(text):
-            if text is None:
-                return (None, {}, v, "und", 0.0, 0, 0.0, 0, 0, True)
-            lowered = text.lower()
-            words = lowered.split()
-            n_tokens = len(words)
-            n_chars = len(text)
-            is_blank = not text.strip()
-            lang, lang_score = lang_of(text, words)
-            tox_hits = len(tox_rx.findall(lowered))
-            tox_score = tox_hits / max(n_tokens, 1)
-            ids = _ppl._ids(text, lowered)  # perplexity: ORIGINAL text
-            if ids.size >= 2:
-                logp = lm[ids[:-1], ids[1:]]
-                ppl = float(np.exp(-logp.sum() / logp.size))
-            else:
-                ppl = v
-            # scrubbed_text is None when nothing changed (the common case):
-            # skipping the Arrow round-trip of unchanged text cuts the UDF
-            # return payload ~8× (JVM side coalesces back to the original)
-            counts = None
-            scrubbed = None
-            if pii_gate.search(text):
-                new_text = text
-                for name, rx, token in rules:
-                    new_text, n = rx.subn(token, new_text)
-                    if n:
-                        counts = counts or {}
-                        counts[name] = n
-                if counts is not None:
-                    scrubbed = new_text
-            return (scrubbed, counts, ppl, lang, lang_score, tox_hits,
-                    tox_score, n_tokens, n_chars, is_blank)
-
+        one = make_row_scorer(scrub_profile, toxicity_keywords)
         for s in it:
             out = [one(t) for t in s.tolist()]
             yield pd.DataFrame({c: [o[i] for o in out]
@@ -236,6 +246,50 @@ def decide(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
             .alias("scrubbed_text"),
         )
     )
+
+
+def decide_pandas(turns: pd.DataFrame,
+                  cfg: PipelineConfig = PipelineConfig()) -> pd.DataFrame:
+    """Driver-local reference implementation of :func:`decide` used by the
+    correctness oracle and tests.  Features come from the same
+    :func:`make_row_scorer` closure the UDF runs (so the check verifies the
+    Spark/Arrow plumbing end to end); the keep/drop gate logic is an
+    INDEPENDENT Python re-implementation of the JVM when-chains in
+    :func:`_drop_reasons` — divergence between the two is exactly what the
+    gate would catch.  ``drop_reasons`` is returned joined with ',' and
+    ``pii_counts`` as canonical sorted-key JSON so the output is hashable
+    by the driver's canonicalizer."""
+    import json
+
+    one = make_row_scorer(cfg.scrub_profile, cfg.toxicity_keywords)
+    out = []
+    for conv_id, turn_idx, role, text in zip(
+            turns["conv_id"], turns["turn_idx"], turns["role"], turns["text"]):
+        (scrubbed, counts, ppl, lang, lang_score, tox_hits, tox_score,
+         n_tokens, n_chars, is_blank) = one(text)
+        reasons = []
+        if is_blank:
+            reasons.append("empty")
+        if not is_blank and n_tokens < cfg.min_tokens:
+            reasons.append("too_short")
+        if n_chars > cfg.max_chars:
+            reasons.append("too_long")
+        substantive = (not is_blank) and n_tokens >= cfg.min_tokens
+        lang_ok = lang in cfg.allowed_langs
+        if substantive and not lang_ok:
+            reasons.append("non_target_lang")
+        if substantive and lang_ok and ppl > cfg.max_perplexity:
+            reasons.append("high_perplexity")
+        if tox_hits >= cfg.max_toxicity_hits:
+            reasons.append("toxicity")
+        out.append((
+            conv_id, int(turn_idx), role, lang, lang_score, ppl,
+            json.dumps(dict(sorted((counts or {}).items())),
+                       separators=(",", ":")),
+            tox_score, not reasons, ",".join(reasons),
+            scrubbed if scrubbed is not None else text,
+        ))
+    return pd.DataFrame(out, columns=DECISION_COLUMNS)
 
 
 def write_decisions(decisions: DataFrame, path: str,

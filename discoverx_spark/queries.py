@@ -77,9 +77,9 @@ def q_pricing_summary(spark, sf_dir):
 
 SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_cents,
-       SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_price_cents,
-       SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_price_cents,
+       CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -105,7 +105,7 @@ def q_top_customer_revenue(spark, sf_dir):
 
 SQL_TOP_CUSTOMER = """
 SELECT c_custkey, c_name, n_name,
-       SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS revenue_cents,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation   ON c_nationkey = n_nationkey
@@ -147,7 +147,7 @@ def q_events_hourly(spark, sf_dir):
 SQL_EVENTS_HOURLY = """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(round(value*100) AS BIGINT)) AS sum_value_cents
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2
 """
 
@@ -191,7 +191,7 @@ SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
             ELSE 'high' END AS segment,
        c_mktsegment,
        COUNT(*) AS n_customers,
-       SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS sum_acctbal_cents
+       CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents
 FROM customer GROUP BY 1, 2
 """
 
@@ -255,7 +255,7 @@ def q_parts_with_lineitems(spark, sf_dir):
 
 SQL_PARTS_SEMI = """
 SELECT p_brand, COUNT(*) AS n_parts,
-       SUM(CAST(round(p_retailprice*100) AS BIGINT)) AS sum_price_cents
+       CAST(SUM(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
 FROM part
 WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
 GROUP BY p_brand
@@ -603,11 +603,54 @@ WHERE id_a < id_b AND round({dot} / ({na} * {nb}), 6) >= 0.99
 # 4. Transcripts pipeline (no SQL oracle — UDF-backed, rows-only check)
 # ---------------------------------------------------------------------------
 
+_TP_CONVS = 300
+
+
 def q_transcripts_pipeline(spark, sf_dir):
+    """Flagship north-rule pipeline over deterministic generated transcripts.
+    Output is canonicalized for the driver's hasher: drop_reasons joined
+    with ',', pii_counts as sorted-key JSON."""
     from .pipeline import decide
     from .transcripts import generate_transcripts
-    turns = generate_transcripts(spark, 300, seed=42)
-    return decide(turns)
+    turns = generate_transcripts(spark, _TP_CONVS, seed=42)
+    d = decide(turns)
+    return d.select(
+        "conv_id", "turn_idx", "role", "lang", "lang_score", "perplexity",
+        F.to_json(F.map_from_entries(F.array_sort(F.map_entries("pii_counts"))))
+        .alias("pii_counts"),
+        "toxicity_score", "keep",
+        F.array_join("drop_reasons", ",").alias("drop_reasons"),
+        "scrubbed_text")
+
+
+def _sql_lit(v) -> str:
+    """Render a Python value as a type-stable DuckDB literal."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, float):
+        # decimal literals parse as DECIMAL in DuckDB; round-trip through a
+        # string cast for an exact binary64
+        return f"CAST('{v!r}' AS DOUBLE)"
+    if isinstance(v, int):
+        return str(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _sql_transcripts_pipeline() -> str:
+    """Expected-output oracle: the driver-local reference implementation
+    (pipeline.decide_pandas — same feature closure, independent gate logic)
+    over the identical deterministic input, inlined as VALUES."""
+    from .pipeline import decide_pandas
+    from .transcripts import generate_transcripts_pandas
+
+    expected = decide_pandas(generate_transcripts_pandas(_TP_CONVS, seed=42))
+    cols = list(expected.columns)
+    rows = ",\n".join(
+        "(" + ", ".join(_sql_lit(v) for v in row) + ")"
+        for row in expected.itertuples(index=False, name=None))
+    return (f"SELECT * FROM (VALUES\n{rows}\n) AS t({', '.join(cols)})")
 
 
 def q_transcripts_conversation_stats(spark, sf_dir):
@@ -906,8 +949,9 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "cosine_topk_embeddings": (q_cosine_topk_embeddings, _sql_cosine_topk()),
     "embedding_neardup_clones": (q_embedding_neardup_clones,
                                  _sql_embedding_neardup()),
-    # transcripts pipeline (UDF-backed → rows-only check)
-    "transcripts_pipeline": (q_transcripts_pipeline, None),
+    # transcripts pipeline (expected-output VALUES oracle: driver-local
+    # reference implementation over the identical deterministic input)
+    "transcripts_pipeline": (q_transcripts_pipeline, _sql_transcripts_pipeline()),
     "transcripts_conversation_stats": (q_transcripts_conversation_stats, None),
     "perplexity_documents": (q_perplexity_documents, None),
     # scale-path variants + remaining operators (rows-only checks)
