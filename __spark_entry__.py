@@ -35,7 +35,11 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
         import tempfile
         import zipfile
 
-        zpath = os.path.join(tempfile.gettempdir(), "discoverx_spark_pkg.zip")
+        # unique per process: a stale zip from an earlier run would ship an
+        # outdated package to the workers (observed: AttributeError on a
+        # function added after the zip was first built)
+        zpath = os.path.join(tempfile.gettempdir(),
+                             f"discoverx_spark_pkg_{os.getpid()}.zip")
         if not os.path.exists(zpath):
             with zipfile.ZipFile(zpath, "w") as z:
                 pkg = os.path.join(_REPO, "discoverx_spark")
