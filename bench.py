@@ -195,23 +195,64 @@ def write_baseline_md(result: dict) -> None:
         f.write("\n".join(lines) + "\n")
 
 
+REFERENCE_RULES_PATH = os.environ.get(
+    "SPARK_GRAFT_REFERENCE_RULES", "/root/reference/discoverx/rules.py")
+
+
+def _reference_rule_fixtures(path: str = REFERENCE_RULES_PATH) -> list:
+    """Parse (name, pattern, match_examples, nomatch_examples) out of the
+    reference's rules.py via ast.literal_eval — no code from the reference
+    is executed, only its rule DATA (patterns + labeled examples) is read.
+    These are the ground-truth labels the F1 is scored against."""
+    import ast
+
+    with open(path) as f:
+        tree = ast.parse(f.read())
+    out = []
+    for node in ast.walk(tree):
+        if not (isinstance(node, ast.Call)
+                and getattr(node.func, "id", None) == "RegexRule"):
+            continue
+        kw = {k.arg: k.value for k in node.keywords}
+        try:
+            name = ast.literal_eval(kw["name"])
+            pattern = ast.literal_eval(kw["definition"])
+            me = ast.literal_eval(kw.get("match_example", ast.List(elts=[])))
+            nme = ast.literal_eval(kw.get("nomatch_example", ast.List(elts=[])))
+        except (KeyError, ValueError):
+            continue  # non-literal definition (none in the reference corpus)
+        me = [me] if isinstance(me, str) else list(me)
+        nme = [nme] if isinstance(nme, str) else list(nme)
+        out.append((name, pattern, me, nme))
+    return out
+
+
 def keep_drop_f1() -> float:
-    """Classification F1 vs reference labels: every match/nomatch example
-    from the reference rule corpus (rules.py:114-510), our classifier vs
-    the reference labeler (re.match on the reference pattern)."""
+    """Classification F1 of THIS repo's rule registry vs the REFERENCE's
+    labels: every match/nomatch example from the reference corpus
+    (reference rules.py:114-510, parsed from the module source) is labeled
+    by the reference's own pattern (re.match) and predicted by our
+    same-named rule.  A transcription error or drift in our registry —
+    including a missing rule — lowers the score."""
     import re
 
     from discoverx_spark.rules import GLOBAL_RULES, LOCALIZED_RULES
 
+    ours = {r.name: r for r in list(GLOBAL_RULES) + list(LOCALIZED_RULES["us"])}
+    fixtures = _reference_rule_fixtures()
+    if not fixtures:
+        raise RuntimeError(f"no rules parsed from {REFERENCE_RULES_PATH}")
     tp = fp = fn = 0
-    for rule in list(GLOBAL_RULES) + list(LOCALIZED_RULES["us"]):
-        ref = re.compile(rule.pattern)
-        for ex in list(rule.match_examples) + list(rule.nomatch_examples):
-            ours, theirs = rule.matches(ex), bool(ref.match(ex))
-            tp += ours and theirs
-            fp += ours and not theirs
-            fn += theirs and not ours
-    return 2 * tp / (2 * tp + fp + fn) if tp else 1.0
+    for name, pattern, match_ex, nomatch_ex in fixtures:
+        ref = re.compile(pattern)
+        mine = ours.get(name)
+        for ex in match_ex + nomatch_ex:
+            theirs = bool(ref.match(ex))
+            predicted = mine.matches(ex) if mine is not None else False
+            tp += predicted and theirs
+            fp += predicted and not theirs
+            fn += theirs and not predicted
+    return 2 * tp / (2 * tp + fp + fn) if (tp + fp + fn) else 0.0
 
 
 BUDGET_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "480"))

@@ -121,16 +121,35 @@ class Msql:
                 print(r.sql)
             return None
         out: Optional[DataFrame] = None
+        failures = []
         for r in rows:
             full = f"{r.catalog}.{r.schema}.{r.table}"
             view = self._view_name(r.catalog, r.schema, r.table)
             registry.get(full).createOrReplaceTempView(view)
             sql = r.sql.replace(f"FROM {full}", f"FROM {view}")
             try:
+                # provenance columns first, then the unit's own columns —
+                # the reference contract (msql.py:114-128): rows stay
+                # attributable to their source table, and the fold is a
+                # POSITIONAL union (msql.py:144) so same-class columns with
+                # different per-table names still line up.
                 df = spark.sql(sql)
-            except Exception:
-                continue  # per-unit isolation (msql.py:130-134)
-            out = df if out is None else out.unionByName(df)
+                df = df.select(
+                    F.lit(r.catalog).alias("table_catalog"),
+                    F.lit(r.schema).alias("table_schema"),
+                    F.lit(r.table).alias("table_name"),
+                    *[c for c in df.columns
+                      if c not in ("table_catalog", "table_schema",
+                                   "table_name")])
+                out = df if out is None else out.union(df)
+            except Exception as e:  # per-unit isolation (msql.py:130-134)
+                failures.append(f"{full}: {e}")
+                continue
+        if out is None:
+            # reference raises when no unit succeeds (msql.py:141-142)
+            raise ValueError(
+                "No M-SQL units were successfully executed. "
+                + "; ".join(failures))
         return out
 
 

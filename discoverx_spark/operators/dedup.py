@@ -23,7 +23,7 @@ describes (conv-level MinHash signatures, BASELINE.json:north_star).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -80,24 +80,34 @@ def _hash_fn(mode: str, seed: int):
 # --------------------------------------------------------------------------
 
 def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(fingerprint, canonical_id, dup_count) for fingerprints seen >1 time."""
+    """(fingerprint, canonical_id, dup_count) for fingerprints seen >1 time.
+    Null-text rows are excluded (a missing document is not a duplicate of
+    another missing document)."""
     from ..functions.text import fingerprint_expr
 
-    fp = df.select(F.col(id_col).alias("id"),
-                   fingerprint_expr(text_col).alias("fingerprint"))
+    fp = df.filter(F.col(text_col).isNotNull()) \
+        .select(F.col(id_col).alias("id"),
+                fingerprint_expr(text_col).alias("fingerprint"))
     return (fp.groupBy("fingerprint")
             .agg(F.min("id").alias("canonical_id"), F.count("*").alias("dup_count"))
             .filter(F.col("dup_count") > 1))
 
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Keep one row (min id) per normalized-text fingerprint."""
+    """Keep one row (min id) per normalized-text fingerprint.
+
+    Null-text rows pass through unchanged: their fingerprint coalesces to a
+    per-row sentinel (unique by id), so the null-rejecting semi-join equality
+    can never silently drop them — previously every null-text row was
+    discarded because ``fingerprint(null)`` is null."""
     from ..functions.text import fingerprint_expr
 
-    with_fp = df.withColumn("_fp", fingerprint_expr(text_col))
+    fp = F.coalesce(fingerprint_expr(text_col),
+                    F.concat(F.lit("__null__:"), F.col(id_col).cast("string")))
+    with_fp = df.withColumn("_fp", fp)
     keep = (with_fp.groupBy("_fp")
             .agg(F.min(F.col(id_col)).alias(id_col)))
-    return with_fp.join(keep, on=[ "_fp", id_col], how="left_semi").drop("_fp")
+    return with_fp.join(keep, on=["_fp", id_col], how="left_semi").drop("_fp")
 
 
 # --------------------------------------------------------------------------
@@ -133,12 +143,59 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                      *minhash_signature_exprs(sh, k, hash_mode))
 
 
+def _bucket_pairs(exploded: DataFrame, key_cols: Sequence[str],
+                  extra_cols: Sequence[str] = (),
+                  max_bucket: Optional[int] = None) -> DataFrame:
+    """Self-join rows sharing a bucket key into candidate pairs
+    (id_a < id_b, distinct); ``extra_cols`` are carried through as
+    ``<col>_a`` / ``<col>_b``.
+
+    ``max_bucket`` is the web-scale guard: a mega-cluster (boilerplate,
+    empty templates) puts m near-identical rows in one bucket and the naive
+    self-join emits m²/2 pairs out of a single reducer — at m=10⁶ that is
+    5·10¹¹ rows.  Buckets over the cap instead emit only
+    (bucket-min-id representative, member) star pairs: output is linear in
+    bucket size and every member stays connected to its cluster, which is
+    exactly what downstream canonical-id/union-find dedup needs.  The
+    bucket-size aggregate shuffles on the same key as the self-join, so AQE
+    coalesces the exchanges."""
+    sel = [F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")]
+    for c in extra_cols:
+        sel += [F.col(f"a.{c}").alias(f"{c}_a"), F.col(f"b.{c}").alias(f"{c}_b")]
+    keys = list(key_cols)
+    if max_bucket is None:
+        a, b = exploded.alias("a"), exploded.alias("b")
+        return (a.join(b, on=keys)
+                .filter(F.col("a.id") < F.col("b.id"))
+                .select(*sel).distinct())
+
+    rep_struct = F.min(F.struct(F.col("id"),
+                                *[F.col(c) for c in extra_cols])).alias("_rep")
+    sizes = exploded.groupBy(*keys).agg(F.count("*").alias("_n"), rep_struct)
+    tagged = exploded.join(sizes, on=keys)
+    small = tagged.filter(F.col("_n") <= max_bucket).drop("_n", "_rep")
+    a, b = small.alias("a"), small.alias("b")
+    small_pairs = (a.join(b, on=keys)
+                   .filter(F.col("a.id") < F.col("b.id")).select(*sel))
+    star_sel = [F.col("_rep.id").alias("id_a"), F.col("id").alias("id_b")]
+    for c in extra_cols:
+        star_sel += [F.col(f"_rep.{c}").alias(f"{c}_a"),
+                     F.col(c).alias(f"{c}_b")]
+    big_pairs = (tagged.filter((F.col("_n") > max_bucket)
+                               & (F.col("id") != F.col("_rep.id")))
+                 .select(*star_sel))
+    return small_pairs.unionByName(big_pairs).distinct()
+
+
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
-                        k: int = 16) -> DataFrame:
+                        k: int = 16,
+                        max_bucket: Optional[int] = None) -> DataFrame:
     """Band the k-column signature into ``bands`` buckets; docs sharing any
     band bucket become a candidate pair (id_a < id_b, distinct).
 
-    Shuffles only (id, band_hash) — the classic scale-safe LSH join."""
+    Shuffles only (id, band_hash) — the classic scale-safe LSH join.
+    ``max_bucket`` bounds hot buckets (see :func:`_bucket_pairs`); the
+    production near-dup wrappers default it on."""
     rows_per_band = k // bands
     band_cols = []
     for b in range(bands):
@@ -151,22 +208,21 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
     exploded = (signatures
                 .select("id", F.explode(F.array(*band_cols)).alias("band"))
                 .select("id", "band.band_idx", "band.band_hash"))
-    left = exploded.alias("a")
-    right = exploded.alias("b")
-    return (left.join(right, on=["band_idx", "band_hash"])
-            .filter(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct())
+    return _bucket_pairs(exploded, key_cols=["band_idx", "band_hash"],
+                         max_bucket=max_bucket)
 
 
 def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
                             k: int = 16, bands: int = 4, shingle_n: int = 3,
                             threshold: float = 0.7,
-                            hash_mode: str = "xxhash64") -> DataFrame:
+                            hash_mode: str = "xxhash64",
+                            max_bucket: Optional[int] = 1024) -> DataFrame:
     """Full MinHash-LSH near-dup: candidates from banding, verified with the
-    exact signature-agreement estimate ≥ threshold."""
+    exact signature-agreement estimate ≥ threshold.  Hot band buckets are
+    capped by default (``max_bucket``): over-cap buckets emit representative
+    star pairs only, bounding the candidate set at web scale."""
     sigs = minhash_signatures(df, text_col, id_col, k, shingle_n, hash_mode)
-    cands = lsh_candidate_pairs(sigs, bands, k)
+    cands = lsh_candidate_pairs(sigs, bands, k, max_bucket=max_bucket)
     a = sigs.alias("sa")
     b = sigs.alias("sb")
     agree = sum((F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}")).cast("int")
@@ -210,11 +266,15 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash_expr(col, bits: int = 16, hash_mode: str = "xxhash64") -> Column:
+def simhash_expr(col, bits: int = 64, hash_mode: str = "xxhash64") -> Column:
     """SimHash over word tokens: bit b set iff the per-bit majority of token
     hashes is 1.  Pure projection (zero shuffle): ONE aggregate fold carries
     all per-bit vote counters in a struct accumulator, so the token array is
-    hashed exactly once per row regardless of ``bits``."""
+    hashed exactly once per row regardless of ``bits``.
+
+    Production default is the full 64-bit signature (xxhash64 supplies 64
+    random bits); the md5 family only yields 32 random bits, so oracle-parity
+    callers pass ``bits=16`` explicitly."""
     toks = F.array_distinct(tokens_expr(col))
     h = _hash_fn(hash_mode, 0)
     hashes = F.transform(toks, h)
@@ -229,40 +289,56 @@ def simhash_expr(col, bits: int = 16, hash_mode: str = "xxhash64") -> Column:
             for b in range(bits)])
 
     def finish(acc):
+        # bitwiseOR + shiftleft, never addition of 1<<b: bit 63 as an
+        # integer literal overflows long, and ANSI mode would reject the
+        # wrap-around addition
         sim = F.lit(0).cast("long")
         for b in range(bits):
-            sim = sim + F.when(acc[f"v{b}"] >= 0,
-                               F.lit(1 << b).cast("long")).otherwise(
-                               F.lit(0).cast("long"))
+            sim = sim.bitwiseOR(
+                F.when(acc[f"v{b}"] >= 0,
+                       F.shiftleft(F.lit(1).cast("long"), b))
+                .otherwise(F.lit(0).cast("long")))
         return sim
 
     return F.aggregate(hashes, zero, step, finish)
 
 
 def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
-                            bits: int = 16, max_hamming: int = 2,
-                            hash_mode: str = "xxhash64") -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance. Candidate generation
-    buckets on the simhash value split into two half-words (any pair within
-    hamming ≤ bits/2-locality shares at least one half) — standard
-    pigeonhole blocking, shuffle is (id, half_key) only."""
-    half = bits // 2
+                            bits: int = 64, max_hamming: int = 3,
+                            hash_mode: str = "xxhash64",
+                            max_bucket: Optional[int] = None) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Candidate generation splits the signature into ``max_hamming + 1``
+    contiguous bit fields: by pigeonhole, any pair within Hamming distance
+    ``max_hamming`` agrees on at least one whole field, so bucketing on each
+    field has full recall at the advertised radius (the previous fixed
+    two-block scheme silently missed distance-2 pairs that differed once in
+    each half).  Shuffle is (id, block_key) only; the production shape is
+    the 64-bit signature with 4×16-bit blocking (max_hamming=3).
+
+    ``max_bucket`` caps hot blocks (see :func:`lsh_candidate_pairs`): blocks
+    larger than the cap emit only min-id-representative pairs, which keeps
+    output linear in cluster size and preserves connected components."""
+    n_blocks = max_hamming + 1
+    if n_blocks > bits:
+        raise ValueError("max_hamming + 1 block fields need bits >= blocks")
     sims = df.select(F.col(id_col).alias("id"),
                      simhash_expr(text_col, bits, hash_mode).alias("simhash"))
-    lo = F.col("simhash").bitwiseAND(F.lit((1 << half) - 1).cast("long"))
-    hi = F.shiftrightunsigned(F.col("simhash"), half)
+    width = bits // n_blocks
+    block_keys = []
+    for i in range(n_blocks):
+        lo_bit = i * width
+        w = bits - lo_bit if i == n_blocks - 1 else width
+        field = F.shiftrightunsigned(F.col("simhash"), lo_bit)
+        if w < 64:
+            field = field.bitwiseAND(F.lit((1 << w) - 1).cast("long"))
+        block_keys.append(F.concat(F.lit(f"{i}:"), field.cast("string")))
     blocks = sims.select(
-        "id", "simhash",
-        F.explode(F.array(
-            F.concat(F.lit("lo:"), lo.cast("string")),
-            F.concat(F.lit("hi:"), hi.cast("string")))).alias("block"))
-    a, b = blocks.alias("a"), blocks.alias("b")
-    pop = lambda c: F.bit_count(c)
-    pairs = (a.join(b, on="block").filter(F.col("a.id") < F.col("b.id"))
-             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                     F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
-             .distinct())
-    hamming = pop(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        "id", "simhash", F.explode(F.array(*block_keys)).alias("block"))
+    pairs = _bucket_pairs(blocks, key_cols=["block"],
+                          extra_cols=["simhash"], max_bucket=max_bucket)
+    hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
     return (pairs.withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))

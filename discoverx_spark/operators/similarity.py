@@ -176,23 +176,27 @@ def ivf_topk(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
 def lsh_near_duplicates(df: DataFrame, threshold: float = 0.95,
                         n_planes: int = 14, seed: int = 42,
                         dim: Optional[int] = None, id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        max_bucket: Optional[int] = 1024) -> DataFrame:
     """Embedding near-dup pairs at scale: bucket by hyperplane signature,
     compare only same-bucket pairs (near-identical vectors share all sign
     bits with high probability).  Shuffles (id, bucket) only; the exact
-    cosine check runs within buckets."""
+    cosine check runs within buckets.  Hot buckets (mega-clusters of
+    identical embeddings) are capped: over-cap buckets emit min-id
+    representative star pairs only (see dedup._bucket_pairs)."""
+    from .dedup import _bucket_pairs
+
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
     sig = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                     lsh_signature_expr(F.col(vec_col), planes).alias("bucket"))
-    a, b = sig.alias("a"), sig.alias("b")
-    return (a.join(b, on="bucket").filter(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6)
-                    .alias("cosine"))
-            .filter(F.col("cosine") >= threshold)
-            .distinct())
+    pairs = _bucket_pairs(sig, key_cols=["bucket"], extra_cols=["v"],
+                          max_bucket=max_bucket)
+    return (pairs.select("id_a", "id_b",
+                         F.round(cosine_expr(F.col("v_a"), F.col("v_b")), 6)
+                         .alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
 
 
 def ivf_assign(corpus: DataFrame, centroids: DataFrame,

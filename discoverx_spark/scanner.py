@@ -35,6 +35,24 @@ from pyspark.sql import types as T
 
 from .rules import RegexRule, Rules
 
+def _read_parquet_if_exists(spark: SparkSession, path: str):
+    """Read parquet, or None ONLY when the path does not exist.  Any other
+    read failure (corrupt footer, permission, transient FS error) propagates
+    — treating it as "first write" would silently overwrite and discard all
+    previously persisted state (MERGE-upsert must never be lossy)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force analysis so a missing path surfaces here
+        return df
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
+
+
 SCAN_RESULT_SCHEMA = T.StructType([
     T.StructField("table_catalog", T.StringType()),
     T.StructField("table_schema", T.StringType()),
@@ -141,11 +159,12 @@ class ScanResult:
         new = self.df.withColumn("effective_timestamp", F.current_timestamp())
         key = ["table_catalog", "table_schema", "table_name",
                "column_name", "class_name"]
-        try:
-            old = spark.read.parquet(path)
-            merged = old.join(new.select(*key), on=key, how="left_anti").unionByName(new)
-        except Exception:
+        old = _read_parquet_if_exists(spark, path)
+        if old is None:
             merged = new
+        else:
+            merged = old.join(new.select(*key), on=key,
+                              how="left_anti").unionByName(new)
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
 
     @staticmethod

@@ -60,11 +60,14 @@ def merge_upsert(spark: SparkSession, new: DataFrame, path: str,
                  key_cols: List[str]) -> None:
     """MERGE-upsert semantics over parquet (Delta/Iceberg MERGE INTO
     analog, scanner.py:113-119): rows matching on key are replaced,
-    others preserved."""
-    try:
-        old = spark.read.parquet(path)
+    others preserved.  Only a genuinely missing path starts fresh — any
+    other read error propagates instead of silently clobbering state."""
+    from ..scanner import _read_parquet_if_exists
+
+    old = _read_parquet_if_exists(spark, path)
+    if old is None:
+        merged = new
+    else:
         merged = old.join(new.select(*key_cols), on=key_cols,
                           how="left_anti").unionByName(new, allowMissingColumns=True)
-    except Exception:
-        merged = new
     merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)

@@ -1,0 +1,125 @@
+"""Web-scale guard rails: hot-bucket caps, null-text passthrough, and the
+pigeonhole-recall fix for SimHash blocking.
+
+The hot-bucket cap is the 100 TB survival property for LSH dedup: a
+mega-cluster of m identical documents must emit O(m) candidate pairs
+(representative star pairs), never m²/2.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from discoverx_spark.operators.dedup import (_bucket_pairs, dedup_exact,
+                                             lsh_candidate_pairs,
+                                             minhash_near_duplicates,
+                                             minhash_signatures,
+                                             simhash_expr,
+                                             simhash_near_duplicates)
+from discoverx_spark.operators.similarity import lsh_near_duplicates
+
+
+@pytest.fixture(scope="module")
+def hot_docs(spark):
+    """10k identical docs (one mega-cluster) + 50 distinct docs."""
+    clones = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("i agree to the terms and conditions of this service").alias("text"))
+    distinct = spark.range(50).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("unique document number "), F.col("id").cast("string"),
+                 F.lit(" with its own words entirely")).alias("text"))
+    return clones.unionByName(distinct)
+
+
+def test_lsh_hot_bucket_cap_bounds_pairs(spark, hot_docs):
+    sigs = minhash_signatures(hot_docs, "text", "doc_id", k=8)
+    pairs = lsh_candidate_pairs(sigs, bands=4, k=8, max_bucket=100)
+    n = pairs.count()
+    # star pairs: 9_999 for the mega-cluster (per band, deduped), linear not
+    # quadratic (uncapped would be ~5*10^7)
+    assert n <= 15_000
+    # every clone stays connected to the min-id representative
+    star = pairs.filter(F.col("id_a") == 0).count()
+    assert star == 9_999
+
+
+def test_lsh_cap_equivalent_when_under_cap(spark):
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), (F.col("id") % 10).cast("string"),
+                 F.lit(" shared body of text for grouping purposes")).alias("text"))
+    sigs = minhash_signatures(docs, "text", "doc_id", k=8)
+    uncapped = set(map(tuple, lsh_candidate_pairs(sigs, bands=4, k=8).collect()))
+    capped = set(map(tuple,
+                     lsh_candidate_pairs(sigs, bands=4, k=8,
+                                         max_bucket=1000).collect()))
+    assert uncapped == capped
+
+
+def test_minhash_neardup_capped_completes(spark, hot_docs):
+    out = minhash_near_duplicates(hot_docs, "text", "doc_id", k=8, bands=4,
+                                  threshold=0.9, max_bucket=100)
+    rows = out.count()
+    assert 9_999 <= rows <= 15_000
+
+
+def test_simhash_hot_block_cap(spark, hot_docs):
+    out = simhash_near_duplicates(hot_docs, "text", "doc_id",
+                                  max_hamming=0, max_bucket=100)
+    assert out.filter(F.col("id_a") == 0).count() == 9_999
+
+
+def test_embedding_lsh_hot_bucket_cap(spark):
+    vecs = spark.range(2_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i)) for i in [1.0, 0.5, 0.25, 0.125]]).alias("embedding"))
+    out = lsh_near_duplicates(vecs, threshold=0.99, n_planes=6, dim=4,
+                              max_bucket=50)
+    n = out.count()
+    assert n == 1_999  # star pairs only, not 2M/2
+    assert out.filter(F.col("id_a") == 0).count() == 1_999
+
+
+def test_dedup_exact_null_text_passthrough(spark):
+    rows = [(1, "same text"), (2, "same text"), (3, None), (4, None),
+            (5, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_exact(df, "text", "doc_id")
+    kept = sorted(r.doc_id for r in out.collect())
+    # one survivor per dup group; BOTH null-text rows pass through
+    assert kept == [1, 3, 4, 5]
+
+
+def test_simhash_pigeonhole_recall(spark):
+    """Blocking with max_hamming+1 fields must find every pair within the
+    advertised Hamming radius — compare against the brute-force truth."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    texts = [(i, base.replace(w, w + "x"))
+             for i, w in enumerate(base.split()[:12])]
+    texts.append((100, base))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    blocked = {(r.id_a, r.id_b)
+               for r in simhash_near_duplicates(df, "text", "doc_id",
+                                                bits=64, max_hamming=3).collect()}
+
+    sims = df.select(F.col("doc_id").alias("id"),
+                     simhash_expr("text", bits=64).alias("sh")).collect()
+    truth = set()
+    for i, a in enumerate(sims):
+        for b in sims[i + 1:]:
+            lo, hi = sorted((a.id, b.id))
+            if bin((a.sh ^ b.sh) & ((1 << 64) - 1)).count("1") <= 3:
+                truth.add((lo, hi))
+    assert blocked == truth
+
+
+def test_bucket_pairs_star_carries_extra_cols(spark):
+    df = spark.createDataFrame(
+        [(i, "k", i * 10) for i in range(5)], "id long, b string, v long")
+    out = _bucket_pairs(df, key_cols=["b"], extra_cols=["v"], max_bucket=2)
+    rows = {(r.id_a, r.id_b, r.v_a, r.v_b) for r in out.collect()}
+    assert rows == {(0, i, 0, i * 10) for i in range(1, 5)}
