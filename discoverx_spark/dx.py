@@ -83,6 +83,22 @@ class DX:
     def search(self, search_term: str, from_tables: str = "*.*.*",
                by_class: Optional[str] = None,
                min_score: float = 0.95) -> DataFrame:
+        """Search classified columns for a literal value.  Without
+        ``by_class`` the class is auto-inferred from the rule registry
+        (reference dx.py:236-260): exactly one matching rule is required —
+        zero or multiple matches raise, asking the caller to disambiguate."""
+        if by_class is None:
+            candidates = self.rules.match_search_term(search_term)
+            if not candidates:
+                raise ValueError(
+                    "Could not infer any class for the given search term. "
+                    "Please specify the by_class parameter.")
+            if len(candidates) > 1:
+                raise ValueError(
+                    f"Multiple classes {candidates} match the given search "
+                    f"term ({search_term!r}). Please specify the class to "
+                    f"search in with the by_class parameter.")
+            by_class = candidates[0]
         return _msql.search(self.spark, self.registry, self._require_scan(),
                             search_term, from_tables, by_class, min_score)
 

@@ -51,6 +51,7 @@ class DataExplorer:
     from_tables: str = "*.*.*"
     _having_columns: tuple = ()
     _having_tags: tuple = ()
+    _having_column_tags: tuple = ()
     _sql_template: Optional[str] = None
 
     def having_columns(self, *columns: str) -> "DataExplorer":
@@ -62,6 +63,14 @@ class DataExplorer:
         """Restrict to tables carrying a governance tag (reference
         with_tags / TagsInfo filters, table_info.py:237-317)."""
         return replace(self, _having_tags=self._having_tags + ((key, value),))
+
+    def having_column_tag(self, key: str,
+                          value: Optional[str] = None) -> "DataExplorer":
+        """Restrict to tables with at least one column carrying the tag
+        (column-level TagsInfo, reference table_info.py:15-21)."""
+        return replace(self,
+                       _having_column_tags=self._having_column_tags
+                       + ((key, value),))
 
     def with_sql(self, template: str) -> "DataExplorer":
         """Attach a ``{full_table_name}``-style SQL template
@@ -80,6 +89,9 @@ class DataExplorer:
             names = [n for n in names
                      if key in self.registry.tags(n)
                      and (value is None or self.registry.tags(n)[key] == value)]
+        for key, value in self._having_column_tags:
+            names = [n for n in names
+                     if self.registry.columns_with_tag(n, key, value)]
         return names
 
     def _sql_for(self, name: str) -> str:

@@ -680,118 +680,6 @@ def q_minhash_neardup_xxhash(spark, sf_dir):
                                    threshold=0.7, hash_mode="xxhash64")
 
 
-def q_simhash_neardup(spark, sf_dir):
-    from .operators.dedup import simhash_near_duplicates
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
-    both = docs.unionByName(
-        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
-    return simhash_near_duplicates(both, "text", "doc_id", bits=16,
-                                   max_hamming=0)
-
-
-def q_jaccard_verify_pairs(spark, sf_dir):
-    """Exact n-gram Jaccard verification of LSH candidates (scale shape:
-    candidates from banding, exact check only on the candidate set)."""
-    from .operators.dedup import (jaccard_pairs, lsh_candidate_pairs,
-                                  minhash_signatures)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
-    both = docs.unionByName(
-        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
-    sigs = minhash_signatures(both, "text", "doc_id", k=16, hash_mode="xxhash64")
-    cands = lsh_candidate_pairs(sigs, bands=8, k=16)
-    return jaccard_pairs(both, "text", "doc_id", candidates=cands,
-                         threshold=0.9)
-
-
-def q_ann_lsh_topk(spark, sf_dir):
-    """Approximate top-k via hyperplane LSH buckets (multi-probe)."""
-    from .operators.similarity import lsh_topk
-    emb = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10,
-                    n_planes=10, seed=42, dim=64)
-
-
-def q_ivf_assign(spark, sf_dir):
-    """IVF coarse quantization: nearest-centroid assignment (centroids =
-    first 16 vectors)."""
-    from .operators.similarity import ivf_assign
-    emb = _t(spark, sf_dir, "embeddings")
-    return ivf_assign(emb, emb.filter(F.col("vec_id") < 16))
-
-
-def q_ivf_topk(spark, sf_dir):
-    """IVF search: probe the 4 nearest coarse cells per query."""
-    from .operators.similarity import ivf_topk
-    emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 16),
-                    emb.filter(F.col("vec_id") < 3), k=5, probes=4)
-
-
-def q_conversation_fingerprints(spark, sf_dir):
-    from .operators.convagg import conversation_fingerprints
-    from .transcripts import generate_transcripts
-    return conversation_fingerprints(generate_transcripts(spark, 300, seed=42))
-
-
-def q_dedup_conversations(spark, sf_dir):
-    """Conversation-level exact dedup over generated transcripts plus one
-    cloned conversation block (clones must be removed)."""
-    from .operators.convagg import dedup_conversations
-    from .transcripts import generate_transcripts
-    turns = generate_transcripts(spark, 200, seed=42)
-    clones = turns.filter(F.col("conv_id") < "conv-42-00000050") \
-        .withColumn("conv_id", F.concat(F.lit("zz-"), F.col("conv_id")))
-    return dedup_conversations(turns.unionByName(clones))
-
-
-def q_conversation_near_duplicates(spark, sf_dir):
-    """Conv-level MinHash near-dup: transcripts plus cloned conversations
-    with one turn dropped (near- but not exact-duplicates)."""
-    from .operators.convagg import conversation_near_duplicates
-    from .transcripts import generate_transcripts
-    turns = generate_transcripts(spark, 150, seed=42)
-    near_clones = (turns.filter(F.col("conv_id") < "conv-42-00000040")
-                   .filter(F.col("turn_idx") > 0)
-                   .withColumn("conv_id", F.concat(F.lit("zz-"), F.col("conv_id"))))
-    return conversation_near_duplicates(turns.unionByName(near_clones),
-                                        threshold=0.6)
-
-
-def q_embedding_lsh_neardup(spark, sf_dir):
-    """Bucketed embedding near-dup over embeddings ∪ clones."""
-    from .operators.similarity import lsh_near_duplicates
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    both = emb.unionByName(
-        emb.filter(F.col("vec_id") < 100)
-        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
-    return lsh_near_duplicates(both, threshold=0.99, dim=64)
-
-
-def q_role_alternation(spark, sf_dir):
-    from .operators.convagg import role_alternation_violations
-    from .transcripts import generate_transcripts
-    return role_alternation_violations(generate_transcripts(spark, 300, seed=42))
-
-
-def q_multimodal_features(spark, sf_dir):
-    """Binary media plumbing: deterministic payloads → mapInPandas feature
-    kernel (decode stubbed; batch shape real)."""
-    from .operators.multimodal import attach_fake_media, decode_image_features
-    media = attach_fake_media(spark.range(500), "id", kind="image")
-    return decode_image_features(media)
-
-
-def q_scan_transcripts(spark, sf_dir):
-    """DiscoverX scan applied to the transcripts table itself (classifies
-    the text/role/tool columns against the full US rule set)."""
-    from .transcripts import generate_transcripts
-    turns = generate_transcripts(spark, 300, seed=42)
-    rules = list(GLOBAL_RULES) + list(LOCALIZED_RULES["us"])
-    return classify_scores(turns, rules, columns=["conv_id", "role", "text"],
-                           sample_size=None, table_catalog="main",
-                           table_schema="gen", table_name="transcripts")
-
-
 def q_union_distinct_event_types(spark, sf_dir):
     """Union fold + DISTINCT (reference msql.py:144 / table_info.py:168)."""
     ev = _t(spark, sf_dir, "events")
@@ -916,6 +804,662 @@ def q_housekeeping(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# 5. Oracle extensions (round 2): ANN/IVF, verified dedup, perplexity,
+#    pseudo-conversation suite, metadata, multimodal — each previously
+#    rows-only, now with a DuckDB-expressible oracle.
+# ---------------------------------------------------------------------------
+
+def _sql_double_list(vals) -> str:
+    """Exact DOUBLE[] literal: decimal literals parse as DECIMAL in DuckDB,
+    so round-trip every element through a string cast."""
+    s = ",".join(repr(float(v)) for v in vals)
+    return f"list_transform(string_split('{s}', ','), s -> CAST(s AS DOUBLE))"
+
+
+def _sql_plane_dot(vec_sql: str, plane) -> str:
+    """Sequential-fold dot of a FLOAT[] column with a literal hyperplane —
+    bit-identical to operators.similarity.lsh_signature_expr."""
+    pl = _sql_double_list(plane)
+    return (f"list_reduce(list_transform(range(1, len({vec_sql})+1), "
+            f"i -> CAST({vec_sql}[i] AS DOUBLE) * ({pl})[i]), (x, y) -> x + y)")
+
+
+def _sql_lsh_sig(vec_sql: str, planes) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_sql_plane_dot(vec_sql, p)} >= 0 THEN {1 << b} ELSE 0 END)"
+        for b, p in enumerate(planes))
+    return f"CAST({terms} AS BIGINT)"
+
+
+def q_ivf_assign(spark, sf_dir):
+    """IVF coarse quantization: nearest-centroid assignment (centroids =
+    first 16 vectors)."""
+    from .operators.similarity import ivf_assign
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_assign(emb, emb.filter(F.col("vec_id") < 16))
+
+
+def _sql_ivf_assign() -> str:
+    dot = _SQL_DOT.format(a="c.v", b="cent.cv")
+    nv = _SQL_NORM.format(a="c.v")
+    nc = _SQL_NORM.format(a="cent.cv")
+    return f"""
+WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv
+              FROM embeddings WHERE vec_id < 16),
+c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+s AS (SELECT id, centroid_id, {dot} / ({nv} * {nc}) AS sim FROM c, cent)
+SELECT id, centroid_id
+FROM (SELECT *, row_number() OVER (PARTITION BY id
+                                   ORDER BY sim DESC, centroid_id ASC) AS rn
+      FROM s)
+WHERE rn = 1
+"""
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF search: probe the 4 nearest coarse cells per query."""
+    from .operators.similarity import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 16),
+                    emb.filter(F.col("vec_id") < 3), k=5, probes=4)
+
+
+def _sql_ivf_topk() -> str:
+    a_dot = _SQL_DOT.format(a="c.v", b="cent.cv")
+    a_nv = _SQL_NORM.format(a="c.v")
+    a_nc = _SQL_NORM.format(a="cent.cv")
+    q_dot = _SQL_DOT.format(a="q.qv", b="cent.cv")
+    q_nq = _SQL_NORM.format(a="q.qv")
+    q_nc = _SQL_NORM.format(a="cent.cv")
+    s_dot = _SQL_DOT.format(a="qp.qv", b="c.v")
+    s_nq = _SQL_NORM.format(a="qp.qv")
+    s_nv = _SQL_NORM.format(a="c.v")
+    return f"""
+WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv
+              FROM embeddings WHERE vec_id < 16),
+c AS (SELECT vec_id AS neighbor_id, embedding AS v FROM embeddings),
+assign AS (
+  SELECT neighbor_id, centroid_id FROM (
+    SELECT c.neighbor_id, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.neighbor_id
+                              ORDER BY {a_dot} / ({a_nv} * {a_nc}) DESC,
+                                       cent.centroid_id ASC) AS rn
+    FROM c, cent) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+qp AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, cent.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {q_dot} / ({q_nq} * {q_nc}) DESC,
+                                       cent.centroid_id ASC) AS rn
+    FROM q, cent) WHERE rn <= 4),
+scored AS (
+  SELECT qp.query_id, c.neighbor_id,
+         round({s_dot} / ({s_nq} * {s_nv}), 6) AS cosine
+  FROM c JOIN assign USING (neighbor_id)
+         JOIN qp USING (centroid_id)
+  WHERE c.neighbor_id <> qp.query_id)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
+_ANN_PLANES_SEED = 42
+_ANN_N_PLANES = 10
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate top-k via hyperplane LSH buckets (multi-probe)."""
+    from .operators.similarity import lsh_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10,
+                    n_planes=_ANN_N_PLANES, seed=_ANN_PLANES_SEED, dim=64)
+
+
+def _sql_ann_lsh_topk() -> str:
+    from .operators.similarity import _hyperplanes
+    planes = _hyperplanes(64, _ANN_N_PLANES, _ANN_PLANES_SEED)
+    c_sig = _sql_lsh_sig("embedding", planes)
+    dot = _SQL_DOT.format(a="q.qv", b="c.cv")
+    nq = _SQL_NORM.format(a="q.qv")
+    nc = _SQL_NORM.format(a="c.cv")
+    probe_list = ("[q_sig" +
+                  "".join(f", xor(q_sig, {1 << b})"
+                          for b in range(_ANN_N_PLANES)) + "]")
+    return f"""
+WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                  {c_sig} AS bucket FROM embeddings),
+q0 AS (SELECT vec_id AS query_id, embedding AS qv,
+              {_sql_lsh_sig("embedding", planes)} AS q_sig
+       FROM embeddings WHERE vec_id < 5),
+q AS (SELECT query_id, qv, unnest({probe_list}) AS bucket FROM q0),
+scored AS (
+  SELECT query_id, neighbor_id, round({dot} / ({nq} * {nc}), 6) AS cosine
+  FROM c JOIN q USING (bucket)
+  WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 10
+"""
+
+
+def q_embedding_lsh_neardup(spark, sf_dir):
+    """Bucketed embedding near-dup over embeddings ∪ clones.  max_bucket is
+    disabled here for oracle determinism; the capped production default is
+    exercised by tests/test_scale_guards.py."""
+    from .operators.similarity import lsh_near_duplicates
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    both = emb.unionByName(
+        emb.filter(F.col("vec_id") < 100)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
+    return lsh_near_duplicates(both, threshold=0.99, n_planes=14, seed=42,
+                               dim=64, max_bucket=None)
+
+
+def _sql_embedding_lsh_neardup() -> str:
+    from .operators.similarity import _hyperplanes
+    planes = _hyperplanes(64, 14, 42)
+    sig = _sql_lsh_sig("embedding", planes)
+    dot = _SQL_DOT.format(a="a.va", b="b.vb")
+    na = _SQL_NORM.format(a="a.va")
+    nb = _SQL_NORM.format(a="b.vb")
+    return f"""
+WITH both_v AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 100),
+s AS (SELECT vec_id AS id, embedding AS v, {sig} AS bucket FROM both_v),
+a AS (SELECT id AS id_a, v AS va, bucket FROM s),
+b AS (SELECT id AS id_b, v AS vb, bucket FROM s)
+SELECT DISTINCT id_a, id_b, round({dot} / ({na} * {nb}), 6) AS cosine
+FROM a JOIN b USING (bucket)
+WHERE id_a < id_b AND round({dot} / ({na} * {nb}), 6) >= 0.99
+"""
+
+
+def q_jaccard_verify_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard verification of LSH candidates (scale shape:
+    candidates from banding, exact check only on the candidate set).
+    md5 hash family for oracle parity; the xxhash production path is
+    `minhash_neardup_xxhash`."""
+    from .operators.dedup import (jaccard_pairs, lsh_candidate_pairs,
+                                  minhash_signatures)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    both = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    sigs = minhash_signatures(both, "text", "doc_id", k=_MH_K, hash_mode="md5")
+    cands = lsh_candidate_pairs(sigs, bands=4, k=_MH_K)
+    return jaccard_pairs(both, "text", "doc_id", candidates=cands,
+                         threshold=0.9)
+
+
+def _sql_jaccard_verify_pairs() -> str:
+    sigs = _sql_minhash_sigs(
+        "(SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents)")
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT id, {b} AS band_idx, "
+        f"md5(mh_{2*b}::VARCHAR || ',' || mh_{2*b+1}::VARCHAR) AS band_hash FROM sigs"
+        for b in range(4))
+    return rf"""
+WITH sigs AS ({sigs}),
+bands AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b USING (band_idx, band_hash)
+  WHERE a.id < b.id),
+sh AS (
+  SELECT doc_id AS id, list_distinct(s) AS sh FROM (
+    SELECT doc_id,
+      CASE WHEN len(t) >= 3
+           THEN list_transform(range(1, len(t)-1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           ELSE [array_to_string(t, ' ')] END AS s
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '(\S+)', 1) AS t
+          FROM (SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text FROM documents))))
+SELECT id_a, id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS jaccard
+FROM cands JOIN sh a ON cands.id_a = a.id
+           JOIN sh b ON cands.id_b = b.id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.9
+"""
+
+
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup at Hamming 0 over documents ∪ clones (md5 family,
+    16 bits for oracle parity; production is 64-bit xxhash with 4-field
+    blocking — tests/test_scale_guards.py)."""
+    from .operators.dedup import simhash_near_duplicates
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    both = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return simhash_near_duplicates(both, "text", "doc_id", bits=16,
+                                   max_hamming=0, hash_mode="md5")
+
+
+def _sql_simhash_neardup() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) >= 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(_SIM_BITS))
+    return rf"""
+WITH both_d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents),
+h AS (
+  SELECT doc_id, ('0x'||substr(md5(tok||'#0'),1,8))::BIGINT AS hv
+  FROM (SELECT doc_id,
+               unnest(list_distinct(regexp_extract_all(lower(text), '(\S+)', 1))) AS tok
+        FROM both_d)),
+s AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
+      FROM h GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+"""
+
+
+def _sql_perplexity_documents() -> str:
+    """Char-bigram LM perplexity in ANSI SQL: the 27×27 log-prob matrix is
+    inlined (729 doubles) and texts are canonicalized exactly like
+    functions/perplexity._ids (lowercase → non-letters collapse to single
+    spaces → trim).  numpy's pairwise sum and the SQL sequential fold can
+    differ in the last ulp, far below the 6-dp rounding."""
+    from .functions.perplexity import CHAR_LM, V
+    lm = _sql_double_list(CHAR_LM.flatten().tolist())
+    canon = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z]', ' ', 'g'),"
+             " ' +', ' ', 'g'))")
+    ids = ("list_transform(range(1, len(t)+1), "
+           "i -> CASE WHEN t[i] = ' ' THEN 26 ELSE ascii(t[i]) - 97 END)")
+    return f"""
+WITH lmv AS (SELECT {lm} AS lm),
+c AS (SELECT doc_id, {canon} AS t FROM documents),
+i AS (SELECT doc_id, len(t) AS n, {ids} AS ids FROM c)
+SELECT doc_id,
+       round(CASE WHEN n < 2 THEN CAST({V} AS DOUBLE)
+             ELSE exp(-(list_reduce(
+                    list_transform(range(1, n),
+                                   j -> lm[ids[j]*27 + ids[j+1] + 1]),
+                    (x, y) -> x + y)) / (n - 1)) END, 6) AS perplexity
+FROM i, lmv
+"""
+
+
+_META_TABLES = ["region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def _sql_table_metadata() -> str:
+    """Cross-engine metadata oracle: DuckDB's information_schema over the
+    same parquet views, type names mapped to Spark simpleString()."""
+    tables = ", ".join(f"'{t}'" for t in _META_TABLES)
+    return f"""
+SELECT 'main' AS table_catalog, 'testdata' AS table_schema,
+       table_name, column_name,
+       CASE data_type
+            WHEN 'BIGINT' THEN 'bigint'
+            WHEN 'INTEGER' THEN 'int'
+            WHEN 'VARCHAR' THEN 'string'
+            WHEN 'DOUBLE' THEN 'double'
+            WHEN 'FLOAT' THEN 'float'
+            WHEN 'DATE' THEN 'date'
+            WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+            WHEN 'FLOAT[]' THEN 'array<float>'
+            ELSE lower(data_type) END AS data_type,
+       CAST(ordinal_position - 1 AS INTEGER) AS ordinal
+FROM information_schema.columns
+WHERE table_name IN ({tables})
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary media plumbing: deterministic payloads → mapInPandas feature
+    kernel (decode stubbed; batch shape real)."""
+    from .operators.multimodal import attach_fake_media, decode_image_features
+    media = attach_fake_media(spark.range(500), "id", kind="image")
+    return decode_image_features(media)
+
+
+SQL_MULTIMODAL = """
+WITH f AS (
+  SELECT range AS media_id, sha256(CAST(range AS VARCHAR)) AS h
+  FROM range(500))
+SELECT media_id,
+       CAST((media_id % 640) + 32 AS INTEGER) AS width,
+       CAST((media_id % 480) + 32 AS INTEGER) AS height,
+       CAST(list_reduce(list_transform(range(1, len(h)+1),
+                                       i -> ascii(h[i])), (x, y) -> x + y)
+            AS DOUBLE) / len(h) AS mean_byte,
+       sha256(h) AS sha256
+FROM f
+"""
+
+
+# -- pseudo-conversation suite: documents re-keyed as (conv_id, turn_idx)
+#    so DuckDB sees the identical input the conv operators consume --------
+
+_PSEUDO_GROUP = 5
+_PSEUDO_EPOCH = 1735689600  # 2025-01-01 UTC
+
+
+def _pseudo_convs(spark, sf_dir) -> DataFrame:
+    """documents → multi-turn pseudo-conversations: 5 docs per conv,
+    deterministic roles with repeats (period-7 pattern so alternation
+    violations exist), synthetic monotone timestamps."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.lpad((F.col("doc_id") / _PSEUDO_GROUP).cast("long").cast("string"),
+               8, "0").alias("conv_id"),
+        F.pmod("doc_id", F.lit(_PSEUDO_GROUP)).cast("int").alias("turn_idx"),
+        F.when(F.pmod("doc_id", F.lit(7)) < 3, "user")
+        .otherwise("assistant").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_seconds(F.lit(_PSEUDO_EPOCH)
+                            + F.col("doc_id") * 37).alias("ts"),
+    )
+
+
+_SQL_PSEUDO = f"""
+SELECT lpad(CAST(doc_id // {_PSEUDO_GROUP} AS VARCHAR), 8, '0') AS conv_id,
+       CAST(doc_id % {_PSEUDO_GROUP} AS INTEGER) AS turn_idx,
+       CASE WHEN doc_id % 7 < 3 THEN 'user' ELSE 'assistant' END AS role,
+       text,
+       {_PSEUDO_EPOCH} + doc_id * 37 AS ts_epoch
+FROM documents
+"""
+
+_SQL_TURN_FP = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+
+
+def q_conversation_fingerprints(spark, sf_dir):
+    from .operators.convagg import conversation_fingerprints
+    return conversation_fingerprints(_pseudo_convs(spark, sf_dir))
+
+
+SQL_CONV_FINGERPRINTS = f"""
+WITH t AS ({_SQL_PSEUDO})
+SELECT conv_id,
+       md5(string_agg({_SQL_TURN_FP}, '|' ORDER BY turn_idx)) AS conv_fingerprint
+FROM t GROUP BY conv_id
+"""
+
+
+def q_dedup_conversations(spark, sf_dir):
+    """Conversation-level exact dedup over pseudo-conversations plus one
+    cloned block (clones must be removed). ts excluded from the output for
+    cross-engine hashing; the operator consumes the full turn shape."""
+    from .operators.convagg import dedup_conversations
+    turns = _pseudo_convs(spark, sf_dir)
+    clones = turns.filter(F.col("conv_id") < "00000050") \
+        .withColumn("conv_id", F.concat(F.lit("zz-"), F.col("conv_id")))
+    return dedup_conversations(turns.unionByName(clones)) \
+        .select("conv_id", "turn_idx", "role", "text")
+
+
+SQL_DEDUP_CONVERSATIONS = f"""
+WITH base AS ({_SQL_PSEUDO}),
+t AS (
+  SELECT conv_id, turn_idx, role, text FROM base
+  UNION ALL
+  SELECT 'zz-' || conv_id AS conv_id, turn_idx, role, text
+  FROM base WHERE conv_id < '00000050'),
+fps AS (
+  SELECT conv_id,
+         md5(string_agg({_SQL_TURN_FP}, '|' ORDER BY turn_idx)) AS cfp
+  FROM t GROUP BY conv_id),
+keep AS (SELECT MIN(conv_id) AS conv_id FROM fps GROUP BY cfp)
+SELECT t.* FROM t WHERE conv_id IN (SELECT conv_id FROM keep)
+"""
+
+
+_CONV_MH_K = 8
+
+
+def q_conversation_near_duplicates(spark, sf_dir):
+    """Conv-level MinHash near-dup: pseudo-conversations plus cloned
+    conversations with turn 0 dropped (near- but not exact-duplicates).
+    md5 family for oracle parity."""
+    from .operators.convagg import conversation_near_duplicates
+    turns = _pseudo_convs(spark, sf_dir)
+    near_clones = (turns.filter(F.col("conv_id") < "00000040")
+                   .filter(F.col("turn_idx") > 0)
+                   .withColumn("conv_id", F.concat(F.lit("zz-"), F.col("conv_id"))))
+    return conversation_near_duplicates(turns.unionByName(near_clones),
+                                        k=_CONV_MH_K, bands=4, threshold=0.6,
+                                        hash_mode="md5")
+
+
+def _sql_conversation_near_duplicates() -> str:
+    mins = ",\n    ".join(
+        f"MIN(('0x'||substr(md5(fp||'#{i}'),1,8))::BIGINT) AS mh_{i}"
+        for i in range(_CONV_MH_K))
+    agree = " + ".join(
+        f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(_CONV_MH_K))
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT id, {b} AS band_idx, "
+        f"md5(mh_{2*b}::VARCHAR || ',' || mh_{2*b+1}::VARCHAR) AS band_hash FROM sigs"
+        for b in range(4))
+    return f"""
+WITH base AS ({_SQL_PSEUDO}),
+t AS (
+  SELECT conv_id, text FROM base
+  UNION ALL
+  SELECT 'zz-' || conv_id AS conv_id, text
+  FROM base WHERE conv_id < '00000040' AND turn_idx > 0),
+pt AS (SELECT conv_id AS id, {_SQL_TURN_FP} AS fp FROM t),
+sigs AS (SELECT id, {mins} FROM pt GROUP BY id),
+bands AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b USING (band_idx, band_hash)
+  WHERE a.id < b.id)
+SELECT id_a, id_b, ({agree}) / CAST({_CONV_MH_K} AS DOUBLE) AS est_jaccard
+FROM cands JOIN sigs a ON cands.id_a = a.id
+           JOIN sigs b ON cands.id_b = b.id
+WHERE ({agree}) / CAST({_CONV_MH_K} AS DOUBLE) >= 0.6
+"""
+
+
+def q_conversation_stats_documents(spark, sf_dir):
+    """Salted two-phase conversation aggregates over pseudo-conversations
+    (timestamps emitted as epochs for cross-engine hashing)."""
+    from .operators.convagg import conversation_stats
+    stats = conversation_stats(_pseudo_convs(spark, sf_dir), salt_buckets=8)
+    return stats.select(
+        "conv_id", "n_turns", "n_user", "n_assistant", "n_tool", "n_system",
+        "total_chars", "total_tokens",
+        F.unix_timestamp("first_ts").alias("first_ts_epoch"),
+        F.unix_timestamp("last_ts").alias("last_ts_epoch"),
+        "role_balance")
+
+
+SQL_CONV_STATS = rf"""
+WITH t AS ({_SQL_PSEUDO})
+SELECT conv_id,
+       COUNT(*) AS n_turns,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+       CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
+       CAST(SUM(CASE WHEN role = 'system' THEN 1 ELSE 0 END) AS BIGINT) AS n_system,
+       CAST(SUM(coalesce(length(text), 0)) AS BIGINT) AS total_chars,
+       CAST(SUM(coalesce(len(regexp_extract_all(text, '(\S+)', 1)), 0)) AS BIGINT) AS total_tokens,
+       MIN(ts_epoch) AS first_ts_epoch,
+       MAX(ts_epoch) AS last_ts_epoch,
+       CAST(least(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END),
+                  SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)) AS DOUBLE)
+         / CAST(greatest(greatest(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END),
+                                  SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)),
+                         1) AS DOUBLE) AS role_balance
+FROM t GROUP BY conv_id
+"""
+
+
+def q_role_alternation(spark, sf_dir):
+    from .operators.convagg import role_alternation_violations
+    return role_alternation_violations(_pseudo_convs(spark, sf_dir))
+
+
+SQL_ROLE_ALTERNATION = f"""
+WITH t AS ({_SQL_PSEUDO}),
+w AS (SELECT conv_id, turn_idx, role,
+             lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+      FROM t)
+SELECT conv_id, turn_idx, role
+FROM w WHERE prev_role IS NOT NULL AND prev_role = role
+"""
+
+
+def q_scan_transcripts(spark, sf_dir):
+    """DiscoverX scan applied to generated transcripts (RE2-safe rule
+    subset so the oracle evaluates the identical patterns; the full rule
+    set incl. lookaround rules runs in the Scanner test suite)."""
+    from .transcripts import generate_transcripts
+    turns = generate_transcripts(spark, 300, seed=42)
+    return classify_scores(turns, ORACLE_RULES, columns=["conv_id", "role", "text"],
+                           sample_size=None, table_catalog="main",
+                           table_schema="gen", table_name="transcripts")
+
+
+def _sql_scan_transcripts() -> str:
+    from .transcripts import generate_transcripts_pandas
+
+    pdf = generate_transcripts_pandas(300, seed=42)
+    rows = ",\n".join(
+        f"({_sql_lit(c)}, {_sql_lit(r)}, {_sql_lit(t)})"
+        for c, r, t in zip(pdf["conv_id"], pdf["role"], pdf["text"]))
+    arms = []
+    for col in ["conv_id", "role", "text"]:
+        for r in ORACLE_RULES:
+            pat = r.pattern.replace("'", "''")
+            arms.append(
+                "SELECT 'main' AS table_catalog, 'gen' AS table_schema, "
+                "'transcripts' AS table_name, "
+                f"'{col}' AS column_name, '{r.name}' AS class_name, "
+                f"avg(CAST(regexp_matches({col}, '{pat}') AS INT)) AS score "
+                "FROM t")
+    return (f"WITH t AS (SELECT * FROM (VALUES\n{rows}\n) "
+            f"AS v(conv_id, role, text))\n" + "\nUNION ALL\n".join(arms))
+
+
+# -- housekeeping: the reference's full nine-gate set over a deterministic
+#    stats + maintenance-history fixture (file-size-based stats stay in the
+#    rows-only `housekeeping` query) ----------------------------------------
+
+_HK_AS_OF = "2025-06-01"
+_HK_STATS = [
+    # (table_name, number_of_files, bytes, min, max, p50, z_order_by)
+    ("t_big_never_opt", 40, 400 * 1024 * 1024, 1, 2, 9 * 1024 * 1024, "[]"),
+    ("t_small_freq_opt", 4, 8 * 1024 * 1024, 1, 2, 2 * 1024 * 1024, "[]"),
+    ("t_stale", 30, 300 * 1024 * 1024, 1, 2, 8 * 1024 * 1024, "[]"),
+    ("t_zorder_few_files", 3, 200 * 1024 * 1024, 1, 2, 64 * 1024 * 1024,
+     '["user_id","ts"]'),
+]
+_HK_HISTORY = [
+    # (table_name, operation, ts)
+    ("t_small_freq_opt", "OPTIMIZE", "2025-05-31 01:00:00"),
+    ("t_small_freq_opt", "OPTIMIZE", "2025-05-30 01:00:00"),
+    ("t_small_freq_opt", "VACUUM", "2025-05-31 02:00:00"),
+    ("t_small_freq_opt", "VACUUM", "2025-05-30 02:00:00"),
+    ("t_stale", "OPTIMIZE", "2025-04-01 01:00:00"),
+    ("t_stale", "OPTIMIZE", "2025-03-01 01:00:00"),
+    ("t_stale", "VACUUM", "2025-04-01 02:00:00"),
+    ("t_zorder_few_files", "OPTIMIZE", "2025-05-29 01:00:00"),
+]
+_HK_GATES = ["rec_not_optimized", "rec_do_not_need_optimize",
+             "rec_not_optimized_last_days", "rec_optimized_too_freq",
+             "rec_not_vacuumed", "rec_not_vacuumed_last_days",
+             "rec_vacuumed_too_freq", "rec_to_analyze",
+             "rec_zorder_not_effective"]
+
+
+def q_housekeeping_gates(spark, sf_dir):
+    """Reference delta_housekeeping.py:251-363 nine-gate set over a fixed
+    stats+history fixture (window top-2 fold + full-outer history merge +
+    NaN repair inside housekeeping_recommendations_full)."""
+    from .sources import housekeeping_recommendations_full
+
+    stats = spark.createDataFrame(
+        [(t, n, b, mn, mx, p50) for t, n, b, mn, mx, p50, _z in _HK_STATS],
+        "table_name string, number_of_files long, bytes long, "
+        "min_file_size long, max_file_size long, p50_file_size long")
+    history = spark.createDataFrame(
+        _HK_HISTORY, "table_name string, operation string, ts_s string"
+    ).select("table_name", "operation", F.col("ts_s").cast("timestamp").alias("ts"))
+    zorder = spark.createDataFrame(
+        [(t, z) for t, _n, _b, _mn, _mx, _p50, z in _HK_STATS],
+        "table_name string, z_order_by string")
+    out = housekeeping_recommendations_full(stats, history, as_of=_HK_AS_OF,
+                                            z_order_by=zorder)
+    return out.select("table_name", *_HK_GATES)
+
+
+def _sql_housekeeping_gates() -> str:
+    """Independent SQL re-implementation of the nine gates over the same
+    fixture (history folded with its own window + full-outer join)."""
+    stats_rows = ",\n".join(
+        f"('{t}', {n}, {b}, {p50}, '{z.replace(chr(39), chr(39)*2)}')"
+        for t, n, b, _mn, _mx, p50, z in _HK_STATS)
+    hist_rows = ",\n".join(
+        f"('{t}', '{op}', TIMESTAMP '{ts}')" for t, op, ts in _HK_HISTORY)
+    return f"""
+WITH stats AS (SELECT * FROM (VALUES
+{stats_rows}
+) AS s(table_name, number_of_files, bytes, p50_file_size, z_order_by)),
+hist AS (SELECT * FROM (VALUES
+{hist_rows}
+) AS h(table_name, operation, ts)),
+ranked AS (
+  SELECT table_name, operation, ts,
+         row_number() OVER (PARTITION BY table_name, operation
+                            ORDER BY ts DESC) AS rn
+  FROM hist),
+opt AS (SELECT table_name,
+               MAX(CASE WHEN rn = 1 THEN ts END) AS max_opt,
+               MAX(CASE WHEN rn = 2 THEN ts END) AS opt2
+        FROM ranked WHERE operation = 'OPTIMIZE' GROUP BY table_name),
+vac AS (SELECT table_name,
+               MAX(CASE WHEN rn = 1 THEN ts END) AS max_vac,
+               MAX(CASE WHEN rn = 2 THEN ts END) AS vac2
+        FROM ranked WHERE operation = 'VACUUM' GROUP BY table_name),
+hk AS (SELECT * FROM opt FULL OUTER JOIN vac USING (table_name)),
+j AS (SELECT s.*, hk.max_opt, hk.opt2, hk.max_vac, hk.vac2
+      FROM stats s LEFT JOIN hk USING (table_name))
+SELECT table_name,
+  (max_opt IS NULL AND bytes > {128 * 1024 * 1024}) AS rec_not_optimized,
+  (max_opt IS NOT NULL AND bytes < {128 * 1024 * 1024}) AS rec_do_not_need_optimize,
+  (CASE WHEN date_diff('day', CAST(max_opt AS DATE), DATE '{_HK_AS_OF}') > 7
+        THEN TRUE ELSE FALSE END) AS rec_not_optimized_last_days,
+  (CASE WHEN max_opt IS NOT NULL AND opt2 IS NOT NULL
+             AND date_diff('day', CAST(opt2 AS DATE), CAST(max_opt AS DATE)) < 2
+        THEN TRUE ELSE FALSE END) AS rec_optimized_too_freq,
+  (max_vac IS NULL) AS rec_not_vacuumed,
+  (CASE WHEN date_diff('day', CAST(max_vac AS DATE), DATE '{_HK_AS_OF}') > 31
+        THEN TRUE ELSE FALSE END) AS rec_not_vacuumed_last_days,
+  (CASE WHEN max_vac IS NOT NULL AND vac2 IS NOT NULL
+             AND date_diff('day', CAST(vac2 AS DATE), CAST(max_vac AS DATE)) < 2
+        THEN TRUE ELSE FALSE END) AS rec_vacuumed_too_freq,
+  (max_opt IS NOT NULL AND p50_file_size IS NOT NULL
+   AND number_of_files > 1
+   AND p50_file_size < {32 * 1024 * 1024}) AS rec_to_analyze,
+  (CASE WHEN max_opt IS NOT NULL AND p50_file_size IS NOT NULL
+             AND z_order_by <> '[]' AND number_of_files < 8
+        THEN TRUE ELSE FALSE END) AS rec_zorder_not_effective
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -953,21 +1497,28 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     # reference implementation over the identical deterministic input)
     "transcripts_pipeline": (q_transcripts_pipeline, _sql_transcripts_pipeline()),
     "transcripts_conversation_stats": (q_transcripts_conversation_stats, None),
-    "perplexity_documents": (q_perplexity_documents, None),
-    # scale-path variants + remaining operators (rows-only checks)
-    "minhash_neardup_xxhash": (q_minhash_neardup_xxhash, None),
-    "simhash_neardup": (q_simhash_neardup, None),
-    "jaccard_verify_pairs": (q_jaccard_verify_pairs, None),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),
-    "ivf_assign": (q_ivf_assign, None),
-    "ivf_topk": (q_ivf_topk, None),
-    "conversation_fingerprints": (q_conversation_fingerprints, None),
-    "dedup_conversations": (q_dedup_conversations, None),
-    "conversation_near_duplicates": (q_conversation_near_duplicates, None),
-    "embedding_lsh_neardup": (q_embedding_lsh_neardup, None),
-    "role_alternation": (q_role_alternation, None),
-    "multimodal_features": (q_multimodal_features, None),
-    "scan_transcripts": (q_scan_transcripts, None),
+    "perplexity_documents": (q_perplexity_documents,
+                             _sql_perplexity_documents()),
+    # dedup / similarity scale paths (oracle-backed since round 2)
+    "minhash_neardup_xxhash": (q_minhash_neardup_xxhash, None),  # xxhash64
+    "simhash_neardup": (q_simhash_neardup, _sql_simhash_neardup()),
+    "jaccard_verify_pairs": (q_jaccard_verify_pairs,
+                             _sql_jaccard_verify_pairs()),
+    "ann_lsh_topk": (q_ann_lsh_topk, _sql_ann_lsh_topk()),
+    "ivf_assign": (q_ivf_assign, _sql_ivf_assign()),
+    "ivf_topk": (q_ivf_topk, _sql_ivf_topk()),
+    "conversation_fingerprints": (q_conversation_fingerprints,
+                                  SQL_CONV_FINGERPRINTS),
+    "dedup_conversations": (q_dedup_conversations, SQL_DEDUP_CONVERSATIONS),
+    "conversation_near_duplicates": (q_conversation_near_duplicates,
+                                     _sql_conversation_near_duplicates()),
+    "conversation_stats_documents": (q_conversation_stats_documents,
+                                     SQL_CONV_STATS),
+    "embedding_lsh_neardup": (q_embedding_lsh_neardup,
+                              _sql_embedding_lsh_neardup()),
+    "role_alternation": (q_role_alternation, SQL_ROLE_ALTERNATION),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
+    "scan_transcripts": (q_scan_transcripts, _sql_scan_transcripts()),
     # remaining SURVEY §2 rows
     "union_distinct_event_types": (q_union_distinct_event_types,
                                    SQL_UNION_DISTINCT),
@@ -975,6 +1526,7 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "row_json_export": (q_row_json_export, SQL_ROW_JSON),
     "scan_events_all_columns": (q_scan_events_all_columns,
                                 _sql_scan_events_all_columns()),
-    "table_metadata": (q_table_metadata, None),
-    "housekeeping": (q_housekeeping, None),
+    "table_metadata": (q_table_metadata, _sql_table_metadata()),
+    "housekeeping": (q_housekeeping, None),  # file-size dependent
+    "housekeeping_gates": (q_housekeeping_gates, _sql_housekeeping_gates()),
 }

@@ -182,10 +182,12 @@ class TableRegistry:
     def __init__(self):
         self._tables: Dict[str, Callable[[], DataFrame]] = {}
         self._tags: Dict[str, Dict[str, str]] = {}
+        self._column_tags: Dict[str, Dict[str, Dict[str, str]]] = {}
 
     def register(self, full_name: str,
                  df_or_supplier: Union[DataFrame, Callable[[], DataFrame]],
-                 tags: Optional[Dict[str, str]] = None) -> None:
+                 tags: Optional[Dict[str, str]] = None,
+                 column_tags: Optional[Dict[str, Dict[str, str]]] = None) -> None:
         if full_name.count(".") != 2:
             raise ValueError(f"expected catalog.schema.table, got {full_name!r}")
         if isinstance(df_or_supplier, DataFrame):
@@ -194,10 +196,28 @@ class TableRegistry:
             self._tables[full_name] = df_or_supplier
         if tags:
             self._tags[full_name] = dict(tags)
+        if column_tags:
+            self._column_tags[full_name] = {c: dict(t)
+                                            for c, t in column_tags.items()}
 
     def tags(self, full_name: str) -> Dict[str, str]:
-        """Governance tags (reference TagsInfo, table_info.py:15-33)."""
+        """Table-level governance tags (reference TagsInfo,
+        table_info.py:15-33)."""
         return dict(self._tags.get(full_name, {}))
+
+    def column_tags(self, full_name: str) -> Dict[str, Dict[str, str]]:
+        """Column-level governance tags ({column: {key: value}}) — the
+        granularity PII governance actually uses (reference
+        ColumnTagInfo, table_info.py:15-21, 237-317)."""
+        return {c: dict(t)
+                for c, t in self._column_tags.get(full_name, {}).items()}
+
+    def columns_with_tag(self, full_name: str, key: str,
+                         value: Optional[str] = None) -> List[str]:
+        """Columns of a table carrying a given tag (optionally a value)."""
+        return sorted(
+            c for c, t in self._column_tags.get(full_name, {}).items()
+            if key in t and (value is None or t[key] == value))
 
     def resolve(self, pattern: str) -> List[str]:
         """Wildcard resolution per component (reference msql.py:165-174 +

@@ -1,7 +1,12 @@
 from .io import (read_table, read_csv, read_json, write_partitioned,
                  merge_upsert, iceberg_available)
-from .housekeeping import table_file_stats, housekeeping_recommendations
+from .housekeeping import (table_file_stats, table_summary_stats,
+                           housekeeping_recommendations,
+                           housekeeping_recommendations_full,
+                           maintenance_history_latest, nan_to_null)
 
 __all__ = ["read_table", "read_csv", "read_json", "write_partitioned",
            "merge_upsert", "iceberg_available", "table_file_stats",
-           "housekeeping_recommendations"]
+           "table_summary_stats", "housekeeping_recommendations",
+           "housekeeping_recommendations_full",
+           "maintenance_history_latest", "nan_to_null"]
