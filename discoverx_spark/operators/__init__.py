@@ -4,6 +4,7 @@ from .convagg import (conversation_stats, conversation_fingerprints,
                       conversation_near_duplicates)
 from .dedup import (tokens_expr, shingles_expr, exact_duplicates, dedup_exact,
                     minhash_signatures, minhash_signature_exprs,
+                    minhash_struct_expr,
                     lsh_candidate_pairs, minhash_near_duplicates,
                     jaccard_pairs, simhash_expr, simhash_near_duplicates)
 from .similarity import (dot_expr, norm_expr, cosine_expr, brute_force_topk,
@@ -16,7 +17,8 @@ __all__ = [
     "dedup_conversations", "lsh_near_duplicates",
     "conversation_minhash_signatures", "conversation_near_duplicates",
     "tokens_expr", "shingles_expr", "exact_duplicates", "dedup_exact",
-    "minhash_signatures", "minhash_signature_exprs", "lsh_candidate_pairs",
+    "minhash_signatures", "minhash_signature_exprs", "minhash_struct_expr",
+    "lsh_candidate_pairs",
     "minhash_near_duplicates", "jaccard_pairs", "simhash_expr",
     "simhash_near_duplicates",
     "dot_expr", "norm_expr", "cosine_expr", "brute_force_topk",

@@ -64,14 +64,21 @@ def shingles_expr(col, n: int = 3) -> Column:
 
 def _hash_fn(mode: str, seed: int):
     """Returns f(Column[string]) -> Column[long] for hash family member
-    ``seed``. md5 mode = first 8 hex chars as unsigned int (oracle parity:
-    DuckDB ``('0x'||substr(md5(s||'#i'),1,8))::BIGINT``)."""
+    ``seed``.
+
+    md5 mode slices FOUR 32-bit hash values out of every md5 digest
+    (``seed`` 0-3 share digest ``md5(s||'#g0')``, 4-7 share ``'#g1'``, …),
+    so a k-member family costs ceil(k/4) md5 calls instead of k — measured
+    4× less hashing on the LSH hot path.  Oracle parity: DuckDB
+    ``('0x'||substr(md5(s||'#g<seed//4>'), 1+8*(seed%4), 8))::BIGINT``
+    (queries._sql_md5_hash renders exactly this)."""
     if mode == "xxhash64":
         return lambda c: F.xxhash64(c, F.lit(seed))
     if mode == "md5":
+        g, j = divmod(seed, 4)
         return lambda c: F.conv(
-            F.substring(F.md5(F.concat(c, F.lit(f"#{seed}"))), 1, 8), 16, 10
-        ).cast("long")
+            F.substring(F.md5(F.concat(c, F.lit(f"#g{g}"))), 1 + 8 * j, 8),
+            16, 10).cast("long")
     raise ValueError(f"unknown hash_mode {mode!r}")
 
 
@@ -117,30 +124,64 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 _LONG_MAX = (1 << 63) - 1
 
 
+def minhash_struct_expr(shingles: Column, k: int = 16,
+                        hash_mode: str = "xxhash64") -> Column:
+    """All k min-hashes in ONE ``aggregate`` fold with a struct accumulator
+    — zero-shuffle projection, and the shingle array is evaluated exactly
+    once per row (k independent folds re-evaluated the tokenize+zip shingle
+    expression k times: measured 6× slower at sf0.1).
+
+    md5 mode additionally pre-hashes each shingle into ceil(k/4) digests
+    with ``transform`` and slices four 32-bit values per digest inside the
+    fold, cutting md5 calls 4×.  Returns struct(m0..m{k-1})."""
+    zero = F.struct(*[F.lit(_LONG_MAX).cast("long").alias(f"m{i}")
+                      for i in range(k)])
+    if hash_mode == "md5":
+        n_groups = (k + 3) // 4
+        digests = F.transform(
+            shingles,
+            lambda x: F.struct(*[F.md5(F.concat(x, F.lit(f"#g{g}")))
+                                 .alias(f"d{g}") for g in range(n_groups)]))
+
+        def h_from(d, i):
+            g, j = divmod(i, 4)
+            return F.conv(F.substring(d[f"d{g}"], 1 + 8 * j, 8),
+                          16, 10).cast("long")
+
+        return F.aggregate(
+            digests, zero,
+            lambda acc, d: F.struct(*[
+                F.least(acc[f"m{i}"], h_from(d, i)).alias(f"m{i}")
+                for i in range(k)]))
+    if hash_mode == "xxhash64":
+        return F.aggregate(
+            shingles, zero,
+            lambda acc, x: F.struct(*[
+                F.least(acc[f"m{i}"], F.xxhash64(x, F.lit(i))).alias(f"m{i}")
+                for i in range(k)]))
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+
 def minhash_signature_exprs(shingles: Column, k: int = 16,
                             hash_mode: str = "xxhash64") -> list:
-    """k min-hash Columns over a shingle array — zero-shuffle projection.
-
-    Each min is a single ``aggregate`` fold (``least(acc, h(x))``) so the
-    hash is applied to the *bound* lambda element; an
-    ``array_min(transform(...))`` form would re-inline (and re-evaluate)
-    the shingle expression per element after projection collapse."""
-    def min_fold(h):
-        # pyspark derives lambda arity from the signature — capture h via
-        # closure, never as a default parameter
-        return F.aggregate(shingles, F.lit(_LONG_MAX).cast("long"),
-                           lambda acc, x: F.least(acc, h(x)))
-
-    return [min_fold(_hash_fn(hash_mode, i)).alias(f"mh_{i}")
-            for i in range(k)]
+    """Back-compat list-of-columns form.  Prefer :func:`minhash_signatures`
+    (or :func:`minhash_struct_expr` + a two-step select): selecting these k
+    columns in ONE projection re-evaluates the fold per column."""
+    s = minhash_struct_expr(shingles, k, hash_mode)
+    return [s[f"m{i}"].alias(f"mh_{i}") for i in range(k)]
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        k: int = 16, shingle_n: int = 3,
                        hash_mode: str = "xxhash64") -> DataFrame:
+    """(id, mh_0..mh_{k-1}) signature frame.  Two-step select: the struct
+    fold materializes as one non-cheap alias (CollapseProject keeps it),
+    then the k field extracts are cheap."""
     sh = shingles_expr(text_col, shingle_n)
-    return df.select(F.col(id_col).alias("id"),
-                     *minhash_signature_exprs(sh, k, hash_mode))
+    return (df.select(F.col(id_col).alias("id"),
+                      minhash_struct_expr(sh, k, hash_mode).alias("_mh"))
+            .select("id", *[F.col(f"_mh.m{i}").alias(f"mh_{i}")
+                            for i in range(k)]))
 
 
 def _bucket_pairs(exploded: DataFrame, key_cols: Sequence[str],

@@ -460,10 +460,18 @@ def q_minhash_signatures_documents(spark, sf_dir):
                               hash_mode="md5")
 
 
+
+def _sql_md5_hash(expr: str, i: int) -> str:
+    """DuckDB rendering of dedup._hash_fn md5 member ``i`` (sliced digest:
+    four 32-bit values per md5 call)."""
+    g, j = divmod(i, 4)
+    return f"('0x'||substr(md5({expr}||'#g{g}'),{1 + 8 * j},8))::BIGINT"
+
+
 def _sql_minhash_sigs(source_sql: str = "documents",
                       id_expr: str = "doc_id") -> str:
     mins = ",\n  ".join(
-        f"list_min(list_transform(s, x -> ('0x'||substr(md5(x||'#{i}'),1,8))::BIGINT)) AS mh_{i}"
+        f"list_min(list_transform(s, x -> {_sql_md5_hash('x', i)})) AS mh_{i}"
         for i in range(_MH_K))
     return rf"""
 WITH toks AS (
@@ -525,7 +533,7 @@ def _sql_simhash_documents() -> str:
         for b in range(_SIM_BITS))
     return rf"""
 WITH h AS (
-  SELECT doc_id, ('0x'||substr(md5(tok||'#0'),1,8))::BIGINT AS hv
+  SELECT doc_id, ('0x'||substr(md5(tok||'#g0'),1,8))::BIGINT AS hv
   FROM (SELECT doc_id,
                unnest(list_distinct(regexp_extract_all(lower(text), '(\S+)', 1))) AS tok
         FROM documents))
@@ -1057,7 +1065,7 @@ WITH both_d AS (
   UNION ALL
   SELECT doc_id + 100000 AS doc_id, text FROM documents),
 h AS (
-  SELECT doc_id, ('0x'||substr(md5(tok||'#0'),1,8))::BIGINT AS hv
+  SELECT doc_id, ('0x'||substr(md5(tok||'#g0'),1,8))::BIGINT AS hv
   FROM (SELECT doc_id,
                unnest(list_distinct(regexp_extract_all(lower(text), '(\S+)', 1))) AS tok
         FROM both_d)),
@@ -1241,7 +1249,7 @@ def q_conversation_near_duplicates(spark, sf_dir):
 
 def _sql_conversation_near_duplicates() -> str:
     mins = ",\n    ".join(
-        f"MIN(('0x'||substr(md5(fp||'#{i}'),1,8))::BIGINT) AS mh_{i}"
+        f"MIN({_sql_md5_hash('fp', i)}) AS mh_{i}"
         for i in range(_CONV_MH_K))
     agree = " + ".join(
         f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)"
