@@ -128,20 +128,36 @@ def conversation_minhash_signatures(turns: DataFrame, k: int = 16,
 
 def conversation_near_duplicates(turns: DataFrame, k: int = 16,
                                  bands: int = 8, threshold: float = 0.7,
-                                 hash_mode: str = "xxhash64") -> DataFrame:
+                                 hash_mode: str = "xxhash64",
+                                 max_bucket: Optional[int] = 1024) -> DataFrame:
     """Near-duplicate conversation pairs via conv-level MinHash + LSH
-    banding + signature-agreement verification."""
-    from .dedup import lsh_candidate_pairs
+    banding + signature-agreement verification.  The signature struct is
+    carried through the banding shuffle (see dedup.minhash_near_duplicates)
+    so verification needs no re-join; hot buckets are capped."""
+    from .dedup import _bucket_pairs
 
     sigs = conversation_minhash_signatures(turns, k, hash_mode)
-    cands = lsh_candidate_pairs(sigs, bands=bands, k=k)
-    a, b = sigs.alias("sa"), sigs.alias("sb")
-    agree = sum((F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}")).cast("int")
+    packed = sigs.select(
+        "id", F.struct(*[F.col(f"mh_{i}").alias(f"m{i}")
+                         for i in range(k)]).alias("sig"))
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col("sig")[f"m{b * rows_per_band + j}"]
+                 for j in range(rows_per_band)]
+        band_cols.append(F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws(",", *[p.cast("string") for p in parts]))
+            .alias("band_hash")))
+    exploded = (packed.select("id", "sig",
+                              F.explode(F.array(*band_cols)).alias("band"))
+                .select("id", "sig", "band.band_idx", "band.band_hash"))
+    pairs = _bucket_pairs(exploded, key_cols=["band_idx", "band_hash"],
+                          extra_cols=["sig"], max_bucket=max_bucket)
+    agree = sum((F.col("sig_a")[f"m{i}"] == F.col("sig_b")[f"m{i}"]).cast("int")
                 for i in range(k))
-    return (cands
-            .join(a, cands["id_a"] == F.col("sa.id"))
-            .join(b, cands["id_b"] == F.col("sb.id"))
-            .select("id_a", "id_b", (agree / F.lit(k)).alias("est_jaccard"))
+    return (pairs.select("id_a", "id_b",
+                         (agree / F.lit(k)).alias("est_jaccard"))
             .filter(F.col("est_jaccard") >= threshold))
 
 
