@@ -212,7 +212,8 @@ def delete_by_class(spark: SparkSession, registry: TableRegistry,
     DataFrames to rewrite — the what-if guard mirrors ``dx.py:376-388``."""
     classes = [c for c in scan.get_classes(min_score) if c[4] == by_class]
     plans = {}
-    rows = []
+    counts = []
+    cand_rows = []
     for cat, sch, tbl, col, _k in classes:
         name = f"{cat}.{sch}.{tbl}"
         if not all(fnmatch(p, pp) for p, pp in
@@ -220,15 +221,27 @@ def delete_by_class(spark: SparkSession, registry: TableRegistry,
             continue
         df = registry.get(name)
         cond = F.col(col).isin(values)
-        n = df.filter(cond).count()
-        rows.append((name, col, n))
+        # one unioned agg instead of a count() action per table: the
+        # matched-row counts come back from a single Spark job however many
+        # tables are classified
+        cand_rows.append((name, col))
+        counts.append(df.filter(cond).select(
+            F.lit(name).alias("table"), F.lit(col).alias("column")))
         if yes_i_am_sure:
             plans[name] = df.filter(~cond | F.col(col).isNull())
-    summary = spark.createDataFrame(
-        rows or [("", "", 0)],
-        "table string, column string, num_deleted long")
-    if not rows:
-        summary = summary.filter(F.col("table") != "")
+    if not counts:
+        summary = spark.createDataFrame(
+            [], "table string, column string, num_deleted long")
+    else:
+        unioned = counts[0]
+        for c in counts[1:]:
+            unioned = unioned.unionByName(c)
+        agg = unioned.groupBy("table", "column").agg(
+            F.count("*").cast("long").alias("num_deleted"))
+        cand = spark.createDataFrame(cand_rows, "table string, column string")
+        summary = (cand.join(agg, on=["table", "column"], how="left")
+                   .withColumn("num_deleted",
+                               F.coalesce("num_deleted", F.lit(0).cast("long"))))
     if not yes_i_am_sure:
         return summary, None  # what-if mode: nothing is rewritten
     return summary, plans
