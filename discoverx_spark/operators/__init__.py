@@ -6,9 +6,11 @@ from .dedup import (tokens_expr, shingles_expr, exact_duplicates, dedup_exact,
                     minhash_signatures, minhash_signature_exprs,
                     minhash_struct_expr,
                     lsh_candidate_pairs, minhash_near_duplicates,
-                    jaccard_pairs, simhash_expr, simhash_near_duplicates)
+                    jaccard_pairs, simhash_expr, simhash_near_duplicates,
+                    connected_components, dedup_clusters)
 from .similarity import (dot_expr, norm_expr, cosine_expr, brute_force_topk,
-                         embedding_near_duplicates, lsh_topk, ivf_assign, ivf_topk, lsh_near_duplicates,
+                         embedding_near_duplicates, lsh_topk, ivf_train, ivf_assign,
+                         ivf_topk, lsh_near_duplicates,
                          lsh_signature_expr)
 
 __all__ = [
@@ -20,8 +22,8 @@ __all__ = [
     "minhash_signatures", "minhash_signature_exprs", "minhash_struct_expr",
     "lsh_candidate_pairs",
     "minhash_near_duplicates", "jaccard_pairs", "simhash_expr",
-    "simhash_near_duplicates",
+    "simhash_near_duplicates", "connected_components", "dedup_clusters",
     "dot_expr", "norm_expr", "cosine_expr", "brute_force_topk",
-    "embedding_near_duplicates", "lsh_topk", "ivf_assign", "ivf_topk",
+    "embedding_near_duplicates", "lsh_topk", "ivf_train", "ivf_assign", "ivf_topk",
     "lsh_signature_expr",
 ]

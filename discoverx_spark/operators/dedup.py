@@ -320,6 +320,66 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 # --------------------------------------------------------------------------
+# Connected components (cluster candidate pairs into dedup groups)
+# --------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(id, component) for every id appearing in ``pairs`` — component =
+    min id reachable through the pair graph.
+
+    This is the consumer of the capped candidate streams: star pairs from
+    hot buckets plus ordinary pairs both collapse into canonical clusters.
+    Algorithm: iterative min-label propagation (the Spark formulation of
+    union-find): each round every node adopts the minimum label among
+    itself and its neighbors, via one groupBy per round over the (short)
+    edge list.  Converges in O(log n) rounds for real dedup graphs (star
+    pairs make most clusters diameter ≤ 2, so 2-3 rounds typical);
+    ``localCheckpoint`` truncates the growing lineage each round.
+
+    Shuffles only (node, label) longs — never payload columns."""
+    edges = (pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+             .unionByName(pairs.select(F.col("id_b").alias("a"),
+                                       F.col("id_a").alias("b"))))
+    labels = (edges.groupBy("a").agg(F.min("b").alias("_mn"))
+              .select(F.col("a").alias("id"),
+                      F.least(F.col("a"), F.col("_mn")).alias("component")))
+    for _ in range(max_iter):
+        # propagate: each node's new label = min(own, neighbors' labels)
+        lbl_b = labels.select(F.col("id").alias("b"),
+                              F.col("component").alias("nbr_component"))
+        prop = (edges.join(lbl_b, on="b")
+                .groupBy(F.col("a").alias("id"))
+                .agg(F.min("nbr_component").alias("nbr_min")))
+        new_labels = (labels.join(prop, on="id", how="left")
+                      .select("id",
+                              F.least(F.col("component"),
+                                      F.coalesce("nbr_min", F.col("component")))
+                              .alias("component"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), on="id")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(df: DataFrame, text_col: str, id_col: str,
+                   k: int = 16, bands: int = 4, shingle_n: int = 3,
+                   threshold: float = 0.7, hash_mode: str = "xxhash64",
+                   max_bucket: Optional[int] = 1024) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH candidates (hot buckets
+    capped) → signature-agreement verification → connected components.
+    Returns (id, component); keep ``id == component`` rows to dedup."""
+    verified = minhash_near_duplicates(df, text_col, id_col, k, bands,
+                                       shingle_n, threshold, hash_mode,
+                                       max_bucket)
+    return connected_components(verified.select("id_a", "id_b"))
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

@@ -199,6 +199,46 @@ def lsh_near_duplicates(df: DataFrame, threshold: float = 0.95,
             .filter(F.col("cosine") >= threshold))
 
 
+def ivf_train(corpus: DataFrame, n_centroids: int = 16, n_iter: int = 5,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Train IVF coarse centroids with distributed Lloyd iterations.
+
+    Deterministic: initial centroids are the ``n_centroids`` smallest ids
+    (not random), and every iteration is a broadcast-assign (corpus never
+    shuffled by vector) + one groupBy(centroid) mean over dimension-exploded
+    components.  Per iteration the shuffle carries only
+    ``n_centroids × dim`` partial sums (map-side combined) — at 10^9
+    vectors the corpus is read per iteration but never re-partitioned.
+
+    Returns (centroid_id, centroid: array<double>)."""
+    dim_df = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim = dim_df[0]["d"]
+    c = corpus.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    centroids = (c.orderBy("id").limit(n_centroids)
+                 .select(F.col("id").alias("centroid_id"),
+                         F.col("v").alias("centroid")))
+    for _ in range(n_iter):
+        cent = centroids.select("centroid_id",
+                                F.col("centroid").alias("cent_vec"))
+        scored = (c.crossJoin(F.broadcast(cent))
+                  .select("id", "v", "centroid_id",
+                          cosine_expr(F.col("v"), F.col("cent_vec")).alias("sim")))
+        from pyspark.sql.window import Window
+        w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+        assigned = (scored.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1).select("centroid_id", "v"))
+        # per-dimension mean via k partial sums (algebraic -> map-side combine)
+        sums = assigned.groupBy("centroid_id").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dim)])
+        centroids = sums.select(
+            "centroid_id",
+            F.array(*[(F.col(f"s{i}") / F.col("n")) for i in range(dim)])
+            .alias("centroid")).localCheckpoint(eager=True)
+    return centroids
+
+
 def ivf_assign(corpus: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest centroid (broadcast centroids).

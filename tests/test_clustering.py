@@ -1,0 +1,72 @@
+"""Connected-components dedup clustering and IVF centroid training."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from discoverx_spark.operators.dedup import (connected_components,
+                                             dedup_clusters)
+from discoverx_spark.operators.similarity import ivf_assign, ivf_train
+
+
+def test_connected_components_basic(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)],
+        "id_a long, id_b long")
+    comp = {r["id"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_star_pairs_chain(spark):
+    """Star pairs from a capped hot bucket + a bridge edge must still fold
+    into one component (the property the cap relies on)."""
+    star = [(0, i) for i in range(1, 50)]          # capped mega-bucket
+    bridge = [(49, 100), (100, 101)]               # chains to another group
+    pairs = spark.createDataFrame(star + bridge, "id_a long, id_b long")
+    comp = connected_components(pairs)
+    assert comp.select("component").distinct().count() == 1
+    assert comp.count() == 52
+
+
+def test_dedup_clusters_end_to_end(spark):
+    clones = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the exact same boilerplate text appears everywhere").alias("text"))
+    uniq = spark.range(5).select(
+        (F.col("id") + 10_000).alias("doc_id"),
+        F.concat(F.lit("completely distinct document text number "),
+                 F.col("id").cast("string")).alias("text"))
+    comp = dedup_clusters(clones.unionByName(uniq), "text", "doc_id",
+                          k=8, bands=4, threshold=0.9, max_bucket=50)
+    rows = {r["id"]: r["component"] for r in comp.collect()}
+    # all 200 clones in one component rooted at min id 0; uniques absent
+    assert set(rows) == set(range(200))
+    assert set(rows.values()) == {0}
+
+
+def test_ivf_train_and_assign(spark):
+    import numpy as np
+    rng = np.random.RandomState(7)
+    centers = [np.eye(4)[i] for i in range(4)]
+    rows = []
+    for i in range(200):
+        c = i % 4
+        v = centers[c] + rng.randn(4) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_train(df, n_centroids=4, n_iter=4)
+    assert cents.count() == 4
+    assigned = ivf_assign(df, cents.withColumnRenamed("centroid", "embedding")
+                          .withColumnRenamed("centroid_id", "vec_id"))
+    # every trained cell should be used and clusters should be pure-ish:
+    # vectors near the same axis share a centroid
+    joined = assigned.join(df.select(F.col("vec_id").alias("id"),
+                                     (F.col("vec_id") % 4).alias("true_c")),
+                           on="id")
+    purity = (joined.groupBy("centroid_id", "true_c").count()
+              .groupBy("centroid_id").agg(F.max("count").alias("top"),
+                                          F.sum("count").alias("n"))
+              .select((F.sum("top") / F.sum("n")).alias("p")).collect()[0]["p"])
+    assert purity > 0.95
