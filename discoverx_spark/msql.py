@@ -28,7 +28,7 @@ from typing import Dict, List, Optional, Tuple
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .scanner import ScanResult, TableRegistry
+from .scanner import ScanResult, TableRegistry, qcol
 
 _CLASS_RX = re.compile(r"\[([\w_-]+)\]")
 _FROM_RX = re.compile(
@@ -180,9 +180,10 @@ def select_by_classes(spark: SparkSession, registry: TableRegistry,
             F.lit(sch).alias("table_schema"),
             F.lit(tbl).alias("table_name"),
             F.create_map(*[x for k, c in pairs
-                           for x in (F.lit(k), F.col(c).cast("string"))])
+                           for x in (F.lit(k), qcol(df, c).cast("string"))])
             .alias("classified"),
-            F.to_json(F.struct(*df.columns)).alias("row_json"),
+            F.to_json(F.struct(*[qcol(df, c).alias(c) for c in df.columns]))
+            .alias("row_json"),
         )
         out = sel if out is None else out.unionByName(sel)
     if out is None:
@@ -220,7 +221,7 @@ def delete_by_class(spark: SparkSession, registry: TableRegistry,
                    zip(name.split("."), from_tables.split("."))):
             continue
         df = registry.get(name)
-        cond = F.col(col).isin(values)
+        cond = qcol(df, col).isin(values)
         # one unioned agg instead of a count() action per table: the
         # matched-row counts come back from a single Spark job however many
         # tables are classified
@@ -228,7 +229,7 @@ def delete_by_class(spark: SparkSession, registry: TableRegistry,
         counts.append(df.filter(cond).select(
             F.lit(name).alias("table"), F.lit(col).alias("column")))
         if yes_i_am_sure:
-            plans[name] = df.filter(~cond | F.col(col).isNull())
+            plans[name] = df.filter(~cond | qcol(df, col).isNull())
     if not counts:
         summary = spark.createDataFrame(
             [], "table string, column string, num_deleted long")
@@ -263,7 +264,7 @@ def scrub_by_classes(spark: SparkSession, registry: TableRegistry,
         df = registry.get(name)
         for col, klass in sorted(set(by_table[name])):
             df = df.withColumn(
-                col, F.when(F.col(col).isNotNull(),
+                col, F.when(qcol(df, col).isNotNull(),
                             F.lit(f"[REDACTED_{klass.upper()}]"))
                 .otherwise(F.lit(None)))
         out[name] = df

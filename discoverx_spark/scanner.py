@@ -35,6 +35,13 @@ from pyspark.sql import types as T
 
 from .rules import RegexRule, Rules
 
+def qcol(df: DataFrame, name: str):
+    """Column of ``df`` by EXACT name — backtick-quoted so special-char
+    names (the reference scans a column literally called ``ip.v2``,
+    conftest.py:140-146) are not parsed as struct-field paths."""
+    return df["`" + name.replace("`", "``") + "`"]
+
+
 def _read_parquet_if_exists(spark: SparkSession, path: str):
     """Read parquet, or None ONLY when the path does not exist.  Any other
     read failure (corrupt footer, permission, transient FS error) propagates
@@ -99,7 +106,9 @@ def classify_scores(
     if not rules:
         raise ValueError("no rules to scan for")
 
-    scan = df.select(*[F.col(c) for c in cols])
+    # df[c] (not F.col) so special-char column names like `ip.v2` resolve
+    # (reference fixture conftest.py:140-146 scans exactly such a column)
+    scan = df.select(*[qcol(df, c).alias(c) for c in cols])
     if sample_fraction is not None:
         scan = scan.sample(fraction=float(sample_fraction), seed=seed)
     elif sample_size is not None:
@@ -110,7 +119,7 @@ def classify_scores(
         for ri, r in enumerate(rules):
             alias = f"m_{ci}_{ri}"
             aggs.append(
-                F.avg(F.regexp_like(F.col(c), F.lit(r.pattern)).cast("int")).alias(alias)
+                F.avg(F.regexp_like(qcol(scan, c), F.lit(r.pattern)).cast("int")).alias(alias)
             )
             meta.append((alias, c, r.name))
     one_row = scan.agg(*aggs)

@@ -56,3 +56,44 @@ def test_minhash_signatures_no_shuffle(spark):
 def test_window_single_exchange(spark):
     plan = plan_of(spark, "latest_event_per_user")
     assert plan.count("Exchange") == 1
+
+
+def test_minhash_fold_not_duplicated(spark):
+    """The k-min signature must be ONE aggregate fold in the plan: if
+    CollapseProject ever inlines the struct alias into its k field
+    extracts, the fold (and the whole shingle chain) is re-evaluated per
+    column — a measured 6× regression."""
+    df = QUERIES["minhash_signatures_documents"][0](spark, SF)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("aggregate(") == 1
+
+
+def test_neardup_verification_is_join_free(spark):
+    """Signature carried through the banding shuffle: verification must
+    not re-join the signature frame (plan has exactly the band-key joins,
+    no extra joins back onto id)."""
+    from pyspark.sql import functions as F
+
+    from discoverx_spark.operators.dedup import minhash_near_duplicates
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text")
+    plan = minhash_near_duplicates(docs, "text", "doc_id", k=8, bands=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # window-based cap: the signature fold appears at most once per
+    # structural reference (window + two self-join sides, deduped by
+    # ReuseExchange at runtime) — NOT once per signature column (the
+    # groupBy+join-back formulation exploded to 30 copies / 240 hash nodes)
+    assert plan.count("xxhash64") <= 3 * 8
+    # and no join back onto the signature frame by id for verification
+    assert plan.count("Exchange hashpartitioning(id") <= 1  # the distinct
+
+
+def test_ivf_assign_broadcasts_centroids(spark):
+    from discoverx_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = ivf_assign(emb, emb.filter(F.col("vec_id") < 16)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan

@@ -113,3 +113,20 @@ def test_scan_result_save_load_merge(spark, tb_1, tmp_path):
     key_cols = ["table_catalog", "table_schema", "table_name",
                 "column_name", "class_name"]
     assert second.df.select(*key_cols).distinct().count() == n1
+
+
+def test_scan_handles_special_char_column_names(spark):
+    """Reference fixture scans a column literally named `ip.v2`
+    (tests/unit/conftest.py:140-146) — dots must not be parsed as struct
+    access anywhere in the scan/select path."""
+    from discoverx_spark.dx import DX
+
+    df = spark.createDataFrame([(1, "1.2.3.4"), (2, "3.4.5.60")],
+                               ["id", "ip.v2"])
+    dx = DX(spark)
+    dx.registry.register("main.default.tb_dotted", df)
+    scan = dx.scan(from_tables="main.default.tb_dotted", sample_size=None)
+    classes = {(c[3], c[4]) for c in scan.get_classes(min_score=0.95)}
+    assert ("ip.v2", "ip_v4") in classes
+    rows = dx.search("1.2.3.4", by_class="ip_v4").collect()
+    assert len(rows) == 1 and rows[0]["classified"] == {"ip_v4": "1.2.3.4"}
