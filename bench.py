@@ -91,11 +91,18 @@ def run_headline() -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     warm_python_workers(spark, CPUS)
     timings = {}
-    for name in HEADLINE:
-        fn, _sql = QUERIES[name]
-        t0 = time.perf_counter()
-        force(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # two interleaved reps, min per query: a single host burst (this
+    # sandbox shows 2-4x transient degradation) otherwise lands entirely
+    # on whichever query it overlaps; min-of-2 also absorbs per-plan
+    # first-run JIT/codegen compilation, so the number measures the
+    # operator, not the JVM warmup
+    for rep in range(2):
+        for name in HEADLINE:
+            fn, _sql = QUERIES[name]
+            t0 = time.perf_counter()
+            force(fn(spark, SF_DIR))
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
     spark.stop()
     return timings
 

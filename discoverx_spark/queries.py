@@ -1360,6 +1360,37 @@ def _sql_scan_transcripts() -> str:
             f"AS v(conv_id, role, text))\n" + "\nUNION ALL\n".join(arms))
 
 
+def q_quality_scores_documents(spark, sf_dir):
+    """Full quality-ratio profile per document (alpha/digit/punct ratios,
+    whitespace-only flag) — the remaining functions/text.py ratio family
+    as one JVM-side projection."""
+    from .functions.text import (alpha_ratio_expr, digit_ratio_expr,
+                                 punct_ratio_expr, whitespace_only_expr)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(alpha_ratio_expr("text"), 6).alias("alpha_ratio"),
+        F.round(digit_ratio_expr("text"), 6).alias("digit_ratio"),
+        F.round(punct_ratio_expr("text"), 6).alias("punct_ratio"),
+        whitespace_only_expr("text").alias("is_whitespace_only"))
+
+
+SQL_QUALITY_SCORES = r"""
+SELECT doc_id,
+  round(CASE WHEN length(text) > 0
+        THEN CAST(len(regexp_extract_all(text, '([A-Za-zÀ-ÖØ-öø-ÿ])', 1)) AS DOUBLE)
+             / length(text) ELSE 0.0 END, 6) AS alpha_ratio,
+  round(CASE WHEN length(text) > 0
+        THEN CAST(len(regexp_extract_all(text, '([0-9])', 1)) AS DOUBLE)
+             / length(text) ELSE 0.0 END, 6) AS digit_ratio,
+  round(CASE WHEN length(text) > 0
+        THEN CAST(len(regexp_extract_all(text, '([^\w\s])', 1)) AS DOUBLE)
+             / length(text) ELSE 0.0 END, 6) AS punct_ratio,
+  (text IS NOT NULL AND regexp_matches(text, '^\s*$')) AS is_whitespace_only
+FROM documents
+"""
+
+
 # -- housekeeping: the reference's full nine-gate set over a deterministic
 #    stats + maintenance-history fixture (file-size-based stats stay in the
 #    rows-only `housekeeping` query) ----------------------------------------
@@ -1490,6 +1521,8 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "scan_documents": (q_scan_documents, _sql_scan_documents()),
     "scrub_documents": (q_scrub_documents, _sql_scrub_documents()),
     "quality_gates_documents": (q_quality_gates_documents, SQL_QUALITY_GATES),
+    "quality_scores_documents": (q_quality_scores_documents,
+                                 SQL_QUALITY_SCORES),
     "langid_documents": (q_langid_documents, _sql_langid_documents()),
     "token_stats_documents": (q_token_stats_documents, SQL_TOKEN_STATS),
     # dedup / similarity
