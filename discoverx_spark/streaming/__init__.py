@@ -1,5 +1,6 @@
 from .pipeline_stream import (decide_stream, run_stream_once,
-                              windowed_keep_metrics, conversation_state_stream)
+                              windowed_keep_metrics,
+                              conversation_state_stream, dedup_stream)
 
 __all__ = ["decide_stream", "run_stream_once", "windowed_keep_metrics",
-           "conversation_state_stream"]
+           "conversation_state_stream", "dedup_stream"]

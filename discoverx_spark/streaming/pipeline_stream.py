@@ -77,6 +77,31 @@ def windowed_keep_metrics(decisions_with_ts: DataFrame,
     )
 
 
+def dedup_stream(stream_df: DataFrame, text_col: str = "text",
+                 watermark: str = "1 hour",
+                 ts_col: str = "ts") -> DataFrame:
+    """Streaming exact dedup: drop rows whose normalized-text fingerprint
+    was already seen within the watermark horizon —
+    ``dropDuplicatesWithinWatermark`` keys the engine's dedup state store
+    on the fingerprint and expires state as event time advances, so the
+    state size is bounded by the horizon's distinct-content volume (the
+    ingest-side twin of the batch ``dedup_exact``).  Null-text rows get a
+    whole-row-hash sentinel fingerprint (monotonically_increasing_id is
+    not allowed on streams): distinct rows pass through, true full-row
+    duplicates still dedup."""
+    from ..functions.text import fingerprint_expr
+
+    row_hash = F.sha2(F.to_json(F.struct(*[F.col(c)
+                                           for c in stream_df.columns])), 256)
+    fp = F.coalesce(fingerprint_expr(text_col),
+                    F.concat(F.lit("__null__:"), row_hash))
+    return (stream_df
+            .withColumn("_fp", fp)
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["_fp"])
+            .drop("_fp"))
+
+
 _CONV_STATE_SCHEMA = T.StructType([
     T.StructField("n_turns", T.LongType()),
     T.StructField("n_kept", T.LongType()),

@@ -78,3 +78,25 @@ def test_conversation_state_stream(spark, input_dir, tmp_path):
     # final state per conversation must equal the batch aggregate
     for conv, (n, k) in exp.items():
         assert got[conv] == (n, k), conv
+
+
+def test_dedup_stream_drops_repeats(spark, input_dir, tmp_path):
+    from discoverx_spark.streaming.pipeline_stream import dedup_stream
+
+    stream = read_transcripts_stream(spark, input_dir)
+    out_dir = str(tmp_path / "dedup_out")
+    q = (dedup_stream(stream)
+         .writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    batch = spark.read.parquet(input_dir)
+    # one survivor per distinct normalized text; null/blank rows preserved
+    from discoverx_spark.functions.text import fingerprint_expr
+    n_distinct = (batch.filter(F.col("text").isNotNull())
+                  .select(fingerprint_expr("text").alias("f"))
+                  .distinct().count())
+    n_null = batch.filter(F.col("text").isNull()).count()
+    assert got.count() == n_distinct + n_null
