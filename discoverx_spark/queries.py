@@ -662,10 +662,60 @@ def _sql_transcripts_pipeline() -> str:
 
 
 def q_transcripts_conversation_stats(spark, sf_dir):
+    """Salted conv aggregates over the skewed generated transcripts
+    (timestamps as epochs for the hasher)."""
     from .operators.convagg import conversation_stats
     from .transcripts import generate_transcripts
-    turns = generate_transcripts(spark, 300, seed=42)
-    return conversation_stats(turns, salt_buckets=8)
+    turns = generate_transcripts(spark, _TP_CONVS, seed=42)
+    stats = conversation_stats(turns, salt_buckets=8)
+    return stats.select(
+        "conv_id", "n_turns", "n_user", "n_assistant", "n_tool", "n_system",
+        "total_chars", "total_tokens",
+        F.unix_timestamp("first_ts").alias("first_ts_epoch"),
+        F.unix_timestamp("last_ts").alias("last_ts_epoch"),
+        "role_balance")
+
+
+def _sql_transcripts_conversation_stats() -> str:
+    """Expected-output VALUES oracle: an INDEPENDENT pandas groupby
+    implementation of the conv stats over the identical deterministic
+    input — checks the salted two-phase aggregation end to end."""
+    import pandas as pd
+
+    from .transcripts import generate_transcripts_pandas
+
+    pdf = generate_transcripts_pandas(_TP_CONVS, seed=42)
+    pdf["n_chars"] = pdf["text"].fillna("").str.len()
+    pdf["n_tokens"] = pdf["text"].fillna("").str.split().str.len()
+    pdf["epoch"] = (pd.to_datetime(pdf["ts"], utc=True).astype("int64")
+                    // 1_000_000_000)
+    rows = []
+    for conv_id, g in pdf.groupby("conv_id", sort=True):
+        n_user = int((g["role"] == "user").sum())
+        n_assistant = int((g["role"] == "assistant").sum())
+        balance = (min(n_user, n_assistant)
+                   / max(max(n_user, n_assistant), 1))
+        rows.append((conv_id, len(g), n_user, n_assistant,
+                     int((g["role"] == "tool").sum()),
+                     int((g["role"] == "system").sum()),
+                     int(g["n_chars"].sum()), int(g["n_tokens"].sum()),
+                     int(g["epoch"].min()), int(g["epoch"].max()),
+                     float(balance)))
+    cols = ["conv_id", "n_turns", "n_user", "n_assistant", "n_tool",
+            "n_system", "total_chars", "total_tokens", "first_ts_epoch",
+            "last_ts_epoch", "role_balance"]
+    values = ",\n".join(
+        "(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows)
+    return (f"SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns, "
+            f"CAST(n_user AS BIGINT) AS n_user, "
+            f"CAST(n_assistant AS BIGINT) AS n_assistant, "
+            f"CAST(n_tool AS BIGINT) AS n_tool, "
+            f"CAST(n_system AS BIGINT) AS n_system, "
+            f"CAST(total_chars AS BIGINT) AS total_chars, "
+            f"CAST(total_tokens AS BIGINT) AS total_tokens, "
+            f"CAST(first_ts_epoch AS BIGINT) AS first_ts_epoch, "
+            f"CAST(last_ts_epoch AS BIGINT) AS last_ts_epoch, role_balance "
+            f"FROM (VALUES\n{values}\n) AS t({', '.join(cols)})")
 
 
 def q_perplexity_documents(spark, sf_dir):
@@ -1537,7 +1587,8 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     # transcripts pipeline (expected-output VALUES oracle: driver-local
     # reference implementation over the identical deterministic input)
     "transcripts_pipeline": (q_transcripts_pipeline, _sql_transcripts_pipeline()),
-    "transcripts_conversation_stats": (q_transcripts_conversation_stats, None),
+    "transcripts_conversation_stats": (q_transcripts_conversation_stats,
+                                       _sql_transcripts_conversation_stats()),
     "perplexity_documents": (q_perplexity_documents,
                              _sql_perplexity_documents()),
     # dedup / similarity scale paths (oracle-backed since round 2)
