@@ -212,6 +212,53 @@ def make_langid_udf():
 
 
 # --------------------------------------------------------------------------
+# Repetition filters (Gopher/C4-style quality rules)
+# --------------------------------------------------------------------------
+
+def duplicate_line_fraction_expr(col) -> Column:
+    """Fraction of lines that are duplicates of an earlier line
+    (1 - distinct/total over non-blank trimmed lines) — the classic
+    boilerplate/repetition quality gate.  Pure projection."""
+    lines = F.filter(F.transform(F.split(_c(col), "\n"),
+                                 lambda x: F.trim(x)),
+                     lambda x: x != "")
+    n = F.size(lines)
+    return F.when(n > 0,
+                  1.0 - F.size(F.array_distinct(lines)).cast("double")
+                  / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def top_bigram_fraction_expr(col) -> Column:
+    """Fraction of word bigrams taken by the single most frequent bigram —
+    high values flag degenerate repetition.  Zero-shuffle: bigrams are
+    sorted per row and the longest equal run is found with ONE aggregate
+    fold carrying (prev, run, best) in a struct accumulator."""
+    toks = tokens_sql_expr(col)
+    bigrams = F.zip_with(toks, F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    bigrams = F.slice(bigrams, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    s = F.array_sort(bigrams)
+    zero = F.struct(F.lit("").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("best"))
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    best = F.aggregate(s, zero, step, lambda acc: acc["best"])
+    n = F.size(bigrams)
+    return F.when(n > 0, best.cast("double") / n.cast("double")) \
+        .otherwise(F.lit(0.0))
+
+
+def tokens_sql_expr(col) -> Column:
+    """Whitespace tokens (lowercased) as array<string>."""
+    return F.regexp_extract_all(F.lower(_c(col)), F.lit(r"(\S+)"), 1)
+
+
+# --------------------------------------------------------------------------
 # Toxicity heuristic gate
 # --------------------------------------------------------------------------
 

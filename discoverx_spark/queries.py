@@ -1441,6 +1441,65 @@ FROM documents
 """
 
 
+def q_repetition_stats_documents(spark, sf_dir):
+    """Gopher/C4-style repetition quality filters: duplicate-line fraction
+    and most-frequent-bigram fraction, both zero-shuffle projections."""
+    from .functions.text import (duplicate_line_fraction_expr,
+                                 top_bigram_fraction_expr)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(duplicate_line_fraction_expr("text"), 6)
+        .alias("dup_line_fraction"),
+        F.round(top_bigram_fraction_expr("text"), 6)
+        .alias("top_bigram_fraction"))
+
+
+SQL_REPETITION_STATS = r"""
+WITH f AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                x -> x <> '') AS lines,
+    regexp_extract_all(lower(text), '(\S+)', 1) AS t
+  FROM documents),
+b AS (
+  SELECT doc_id, lines,
+    CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         ELSE [] END AS bg
+  FROM f)
+SELECT doc_id,
+  round(CASE WHEN len(lines) > 0
+        THEN 1 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+        ELSE 0.0 END, 6) AS dup_line_fraction,
+  round(CASE WHEN len(bg) > 0
+        THEN CAST(list_max(list_transform(list_distinct(bg),
+                  x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg)
+        ELSE 0.0 END, 6) AS top_bigram_fraction
+FROM b
+"""
+
+
+def q_url_hosts_documents(spark, sf_dir):
+    """Per-host URL counts across the corpus (explode extracted hosts →
+    grouped count) — the domain-distribution stat every web-scale corpus
+    pipeline tracks."""
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select(
+        F.explode(F.regexp_extract_all(
+            "text", F.lit(r"https?://([A-Za-z0-9.-]+)"), 1)).alias("host"))
+    return (hosts.groupBy("host")
+            .agg(F.count("*").alias("n_urls")))
+
+
+SQL_URL_HOSTS = r"""
+SELECT host, COUNT(*) AS n_urls
+FROM (SELECT unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)) AS host
+      FROM documents)
+GROUP BY host
+"""
+
+
 # -- housekeeping: the reference's full nine-gate set over a deterministic
 #    stats + maintenance-history fixture (file-size-based stats stay in the
 #    rows-only `housekeeping` query) ----------------------------------------
@@ -1573,6 +1632,9 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "quality_gates_documents": (q_quality_gates_documents, SQL_QUALITY_GATES),
     "quality_scores_documents": (q_quality_scores_documents,
                                  SQL_QUALITY_SCORES),
+    "repetition_stats_documents": (q_repetition_stats_documents,
+                                   SQL_REPETITION_STATS),
+    "url_hosts_documents": (q_url_hosts_documents, SQL_URL_HOSTS),
     "langid_documents": (q_langid_documents, _sql_langid_documents()),
     "token_stats_documents": (q_token_stats_documents, SQL_TOKEN_STATS),
     # dedup / similarity
