@@ -173,6 +173,35 @@ def dedup_conversations(turns: DataFrame) -> DataFrame:
     return turns.join(keep.select("conv_id"), on="conv_id", how="left_semi")
 
 
+def conversation_apply_stats(turns: DataFrame) -> DataFrame:
+    """Per-conversation NON-algebraic statistics via grouped-map
+    ``applyInPandas`` — the north-star's sanctioned escape hatch for conv
+    logic that partial aggregation cannot decompose (medians here; in
+    production: arbitrary per-conversation Python).  One shuffle on
+    conv_id; AQE's skew handling splits hot conversations at runtime.
+    Algebraic stats should use :func:`conversation_stats` instead (it
+    combines map-side); this operator exists for the logic that can't.
+
+    Returns (conv_id, n_turns, median_text_len, median_tokens)."""
+    import numpy as np
+    import pandas as pd
+
+    def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        text = pdf["text"].fillna("")
+        lens = text.str.len().to_numpy()
+        toks = text.str.split().str.len().to_numpy()
+        return pd.DataFrame({
+            "conv_id": [pdf["conv_id"].iloc[0]],
+            "n_turns": [len(pdf)],
+            "median_text_len": [float(np.median(lens))],
+            "median_tokens": [float(np.median(toks))],
+        })
+
+    return turns.groupBy("conv_id").applyInPandas(
+        per_conv, schema=("conv_id string, n_turns long, "
+                          "median_text_len double, median_tokens double"))
+
+
 def role_alternation_violations(turns: DataFrame) -> DataFrame:
     """Turns whose role equals the previous turn's role (lag over the
     stable (conv_id, turn_idx) window — SURVEY §2.5 rebuild usage)."""

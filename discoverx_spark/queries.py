@@ -1363,6 +1363,23 @@ FROM t GROUP BY conv_id
 """
 
 
+def q_conversation_apply_stats(spark, sf_dir):
+    """Grouped-map applyInPandas over pseudo-conversations: per-conv
+    medians (non-algebraic — the stat partial aggregation can't build)."""
+    from .operators.convagg import conversation_apply_stats
+    return conversation_apply_stats(_pseudo_convs(spark, sf_dir))
+
+
+SQL_CONV_APPLY_STATS = rf"""
+WITH t AS ({_SQL_PSEUDO})
+SELECT conv_id, COUNT(*) AS n_turns,
+       median(CAST(length(coalesce(text, '')) AS DOUBLE)) AS median_text_len,
+       median(CAST(len(regexp_extract_all(coalesce(text, ''), '(\S+)', 1))
+                   AS DOUBLE)) AS median_tokens
+FROM t GROUP BY conv_id
+"""
+
+
 def q_role_alternation(spark, sf_dir):
     from .operators.convagg import role_alternation_violations
     return role_alternation_violations(_pseudo_convs(spark, sf_dir))
@@ -1668,6 +1685,8 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
                                      _sql_conversation_near_duplicates()),
     "conversation_stats_documents": (q_conversation_stats_documents,
                                      SQL_CONV_STATS),
+    "conversation_apply_stats": (q_conversation_apply_stats,
+                                 SQL_CONV_APPLY_STATS),
     "embedding_lsh_neardup": (q_embedding_lsh_neardup,
                               _sql_embedding_lsh_neardup()),
     "role_alternation": (q_role_alternation, SQL_ROLE_ALTERNATION),
