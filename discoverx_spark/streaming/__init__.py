@@ -1,6 +1,8 @@
 from .pipeline_stream import (decide_stream, run_stream_once,
                               windowed_keep_metrics,
-                              conversation_state_stream, dedup_stream)
+                              conversation_state_stream, dedup_stream,
+                              minhash_signatures_stream)
 
 __all__ = ["decide_stream", "run_stream_once", "windowed_keep_metrics",
-           "conversation_state_stream", "dedup_stream"]
+           "conversation_state_stream", "dedup_stream",
+           "minhash_signatures_stream"]

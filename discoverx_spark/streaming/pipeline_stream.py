@@ -102,6 +102,23 @@ def dedup_stream(stream_df: DataFrame, text_col: str = "text",
             .drop("_fp"))
 
 
+def minhash_signatures_stream(stream_df: DataFrame, text_col: str = "text",
+                              id_col: str = "conv_id", k: int = 16,
+                              hash_mode: str = "xxhash64") -> DataFrame:
+    """MinHash signature emission on ingest: the signature fold is a pure
+    projection (zero shuffle), so the exact batch expression runs on the
+    stream unchanged — write signatures alongside the raw turns and the
+    downstream LSH dedup job never re-reads the text."""
+    from ..operators.dedup import minhash_struct_expr, shingles_expr
+
+    sh = shingles_expr(text_col, 3)
+    return (stream_df
+            .select(F.col(id_col).alias("id"),
+                    minhash_struct_expr(sh, k, hash_mode).alias("_mh"))
+            .select("id", *[F.col(f"_mh.m{i}").alias(f"mh_{i}")
+                            for i in range(k)]))
+
+
 _CONV_STATE_SCHEMA = T.StructType([
     T.StructField("n_turns", T.LongType()),
     T.StructField("n_kept", T.LongType()),

@@ -100,3 +100,22 @@ def test_dedup_stream_drops_repeats(spark, input_dir, tmp_path):
                   .distinct().count())
     n_null = batch.filter(F.col("text").isNull()).count()
     assert got.count() == n_distinct + n_null
+
+
+def test_minhash_signatures_stream_matches_batch(spark, input_dir, tmp_path):
+    from discoverx_spark.operators.dedup import minhash_signatures
+    from discoverx_spark.streaming import minhash_signatures_stream
+
+    stream = read_transcripts_stream(spark, input_dir)
+    out_dir = str(tmp_path / "sig_out")
+    q = (minhash_signatures_stream(stream, k=8)
+         .writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "sig_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    batch = spark.read.parquet(input_dir)
+    want = {tuple(r) for r in
+            minhash_signatures(batch, "text", "conv_id", k=8).collect()}
+    assert got == want
