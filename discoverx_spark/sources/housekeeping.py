@@ -97,8 +97,10 @@ def maintenance_history_latest(history: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("table_name", "operation").orderBy(F.desc("ts"))
-    ranked = history.withColumn("rn", F.row_number().over(w)) \
-        .filter(F.col("rn") <= 2)
+    # operation isin pre-filter per reference delta_housekeeping.py:42
+    ranked = (history.filter(F.col("operation").isin(["OPTIMIZE", "VACUUM"]))
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= 2))
 
     def top2(op: str, prefix: str) -> DataFrame:
         return (ranked.filter(F.col("operation") == op)
