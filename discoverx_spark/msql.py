@@ -245,6 +245,10 @@ def delete_by_class(spark: SparkSession, registry: TableRegistry,
                                F.coalesce("num_deleted", F.lit(0).cast("long"))))
     if not yes_i_am_sure:
         return summary, None  # what-if mode: nothing is rewritten
+    # pin the summary to PRE-delete state: the caller will materialize the
+    # surviving plans back over the source paths, and a lazy summary
+    # evaluated afterwards would count post-delete data (num_deleted = 0)
+    summary = summary.localCheckpoint(eager=True)
     return summary, plans
 
 

@@ -186,7 +186,8 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 
 def _bucket_pairs(exploded: DataFrame, key_cols: Sequence[str],
                   extra_cols: Sequence[str] = (),
-                  max_bucket: Optional[int] = None) -> DataFrame:
+                  max_bucket: Optional[int] = None,
+                  mark_star: bool = False) -> DataFrame:
     """Self-join rows sharing a bucket key into candidate pairs
     (id_a < id_b, distinct); ``extra_cols`` are carried through as
     ``<col>_a`` / ``<col>_b``.
@@ -196,19 +197,26 @@ def _bucket_pairs(exploded: DataFrame, key_cols: Sequence[str],
     self-join emits m²/2 pairs out of a single reducer — at m=10⁶ that is
     5·10¹¹ rows.  Buckets over the cap instead emit only
     (bucket-min-id representative, member) star pairs: output is linear in
-    bucket size and every member stays connected to its cluster, which is
-    exactly what downstream canonical-id/union-find dedup needs.  The
-    bucket-size aggregate shuffles on the same key as the self-join, so AQE
-    coalesces the exchanges."""
+    bucket size and every member stays connected to its cluster *through
+    the representative* — sufficient for downstream canonical-id/union-find
+    dedup, but a member's pairing with OTHER members of the bucket is not
+    emitted (see minhash_near_duplicates for the verification interplay).
+    The bucket-size aggregate shuffles on the same key as the self-join, so
+    AQE coalesces the exchanges.
+
+    ``mark_star=True`` adds an ``is_star`` boolean column (True on
+    capped-bucket representative pairs); a pair reachable both ways keeps
+    ``is_star=False`` (the ordinary, verifiable path wins)."""
     sel = [F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")]
     for c in extra_cols:
         sel += [F.col(f"a.{c}").alias(f"{c}_a"), F.col(f"b.{c}").alias(f"{c}_b")]
     keys = list(key_cols)
     if max_bucket is None:
         a, b = exploded.alias("a"), exploded.alias("b")
-        return (a.join(b, on=keys)
-                .filter(F.col("a.id") < F.col("b.id"))
-                .select(*sel).distinct())
+        out = (a.join(b, on=keys)
+               .filter(F.col("a.id") < F.col("b.id"))
+               .select(*sel).distinct())
+        return out.withColumn("is_star", F.lit(False)) if mark_star else out
 
     # bucket size + representative via WINDOW functions over the banding
     # shuffle, not a groupBy + join back: a separate aggregate would
@@ -235,18 +243,29 @@ def _bucket_pairs(exploded: DataFrame, key_cols: Sequence[str],
     big_pairs = (tagged.filter((F.col("_n") > max_bucket)
                                & (F.col("id") != F.col("_rep.id")))
                  .select(*star_sel))
-    return small_pairs.unionByName(big_pairs).distinct()
+    if not mark_star:
+        return small_pairs.unionByName(big_pairs).distinct()
+    # distinct with a min(is_star) fold: a pair seen via both an ordinary
+    # bucket and a capped one stays is_star=False (same shuffle as distinct)
+    pair_cols = [c for c in ("id_a", "id_b",
+                             *[f"{c}_{s}" for c in extra_cols for s in "ab"])]
+    both = (small_pairs.withColumn("is_star", F.lit(False))
+            .unionByName(big_pairs.withColumn("is_star", F.lit(True))))
+    return (both.groupBy(*pair_cols)
+            .agg(F.min("is_star").alias("is_star")))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
                         k: int = 16,
-                        max_bucket: Optional[int] = None) -> DataFrame:
+                        max_bucket: Optional[int] = 1024) -> DataFrame:
     """Band the k-column signature into ``bands`` buckets; docs sharing any
     band bucket become a candidate pair (id_a < id_b, distinct).
 
     Shuffles only (id, band_hash) — the classic scale-safe LSH join.
-    ``max_bucket`` bounds hot buckets (see :func:`_bucket_pairs`); the
-    production near-dup wrappers default it on."""
+    ``max_bucket`` bounds hot buckets (see :func:`_bucket_pairs`) and
+    defaults ON: with the default a mega-bucket of m rows emits O(m) star
+    pairs instead of m²/2.  Pass ``max_bucket=None`` explicitly only for
+    small oracle-parity inputs that need the exhaustive pair set."""
     rows_per_band = k // bands
     band_cols = []
     for b in range(bands):
@@ -267,11 +286,22 @@ def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
                             k: int = 16, bands: int = 4, shingle_n: int = 3,
                             threshold: float = 0.7,
                             hash_mode: str = "xxhash64",
-                            max_bucket: Optional[int] = 1024) -> DataFrame:
+                            max_bucket: Optional[int] = 1024,
+                            keep_capped_star: bool = False) -> DataFrame:
     """Full MinHash-LSH near-dup: candidates from banding, verified with the
     exact signature-agreement estimate ≥ threshold.  Hot band buckets are
     capped by default (``max_bucket``): over-cap buckets emit representative
     star pairs only, bounding the candidate set at web scale.
+
+    Capped-bucket recall guarantee (exact): a member of an over-cap bucket
+    is kept only through its (representative, member) star pair, and by
+    default that pair must itself pass the ``est_jaccard >= threshold``
+    verification — a member that is a true near-dup of *another* member but
+    not of the representative is lost.  ``keep_capped_star=True`` passes
+    star pairs through unverified (bucket membership already implies full
+    band agreement); :func:`dedup_clusters` enables it so connectivity
+    survives into connected components.  Star pairs kept this way report
+    their real (possibly sub-threshold) ``est_jaccard``.
 
     Plan shape: the signature struct rides the banding shuffle as a carried
     column, so verification reads it straight off the pair rows — ONE
@@ -293,12 +323,20 @@ def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
                             F.explode(F.array(*band_cols)).alias("band"))
                 .select("id", "sig", "band.band_idx", "band.band_hash"))
     pairs = _bucket_pairs(exploded, key_cols=["band_idx", "band_hash"],
-                          extra_cols=["sig"], max_bucket=max_bucket)
+                          extra_cols=["sig"], max_bucket=max_bucket,
+                          mark_star=keep_capped_star)
     agree = sum((F.col("sig_a")[f"m{i}"] == F.col("sig_b")[f"m{i}"]).cast("int")
                 for i in range(k))
+    keep = F.col("est_jaccard") >= threshold
+    if keep_capped_star:
+        keep = keep | F.col("is_star")
+        return (pairs.select("id_a", "id_b",
+                             (agree / F.lit(k)).alias("est_jaccard"),
+                             "is_star")
+                .filter(keep).drop("is_star"))
     return (pairs.select("id_a", "id_b",
                          (agree / F.lit(k)).alias("est_jaccard"))
-            .filter(F.col("est_jaccard") >= threshold))
+            .filter(keep))
 
 
 # --------------------------------------------------------------------------
@@ -342,8 +380,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Algorithm: iterative min-label propagation (the Spark formulation of
     union-find): each round every node adopts the minimum label among
     itself and its neighbors, via one groupBy per round over the (short)
-    edge list.  Converges in O(log n) rounds for real dedup graphs (star
-    pairs make most clusters diameter ≤ 2, so 2-3 rounds typical);
+    edge list.  Convergence needs O(graph diameter) rounds — real dedup
+    graphs are shallow (star pairs make most clusters diameter ≤ 2, so 2-3
+    rounds typical), but a pathological length-``d`` chain needs ~d rounds;
+    if the loop exits without converging a ``RuntimeWarning`` is raised so
+    wrong component ids can never pass silently (raise ``max_iter``, or
+    use a large-star/small-star variant for true O(log n) on deep graphs).
     ``localCheckpoint`` truncates the growing lineage each round.
 
     Shuffles only (node, label) longs — never payload columns."""
@@ -373,6 +415,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "component ids may span multiple labels per true cluster — "
+            "raise max_iter (the graph has diameter > max_iter)",
+            RuntimeWarning, stacklevel=2)
     return labels
 
 
@@ -382,10 +432,17 @@ def dedup_clusters(df: DataFrame, text_col: str, id_col: str,
                    max_bucket: Optional[int] = 1024) -> DataFrame:
     """End-to-end near-dup clustering: MinHash-LSH candidates (hot buckets
     capped) → signature-agreement verification → connected components.
-    Returns (id, component); keep ``id == component`` rows to dedup."""
+    Returns (id, component); keep ``id == component`` rows to dedup.
+
+    Star pairs from over-cap buckets enter the components UNVERIFIED
+    (``keep_capped_star=True``): for clustering, dropping a star pair whose
+    representative happens to miss the threshold would disconnect members
+    of a genuine mega-cluster — bucket membership (full band agreement) is
+    the candidate evidence here, and the component granularity absorbs the
+    precision cost (LIMITATIONS §8)."""
     verified = minhash_near_duplicates(df, text_col, id_col, k, bands,
                                        shingle_n, threshold, hash_mode,
-                                       max_bucket)
+                                       max_bucket, keep_capped_star=True)
     return connected_components(verified.select("id_a", "id_b"))
 
 
@@ -401,7 +458,13 @@ def simhash_expr(col, bits: int = 64, hash_mode: str = "xxhash64") -> Column:
 
     Production default is the full 64-bit signature (xxhash64 supplies 64
     random bits); the md5 family only yields 32 random bits, so oracle-parity
-    callers pass ``bits=16`` explicitly."""
+    callers pass ``bits<=32`` explicitly (enforced: bits above the family's
+    entropy would silently vote every high bit to 0)."""
+    if hash_mode == "md5" and bits > 32:
+        raise ValueError(
+            f"hash_mode='md5' yields 32 random bits; bits={bits} would make "
+            "bits 32..63 zero-entropy (all-same votes) and inflate collision "
+            "rates — pass bits<=32 or hash_mode='xxhash64'")
     toks = F.array_distinct(tokens_expr(col))
     h = _hash_fn(hash_mode, 0)
     hashes = F.transform(toks, h)
@@ -433,7 +496,7 @@ def simhash_expr(col, bits: int = 64, hash_mode: str = "xxhash64") -> Column:
 def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
                             bits: int = 64, max_hamming: int = 3,
                             hash_mode: str = "xxhash64",
-                            max_bucket: Optional[int] = None) -> DataFrame:
+                            max_bucket: Optional[int] = 1024) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
     Candidate generation splits the signature into ``max_hamming + 1``
@@ -444,9 +507,13 @@ def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
     each half).  Shuffle is (id, block_key) only; the production shape is
     the 64-bit signature with 4×16-bit blocking (max_hamming=3).
 
-    ``max_bucket`` caps hot blocks (see :func:`lsh_candidate_pairs`): blocks
-    larger than the cap emit only min-id-representative pairs, which keeps
-    output linear in cluster size and preserves connected components."""
+    ``max_bucket`` caps hot blocks (see :func:`lsh_candidate_pairs`) and
+    defaults ON: blocks larger than the cap emit only min-id-representative
+    star pairs, which keeps output linear in cluster size and preserves
+    connectivity through the representative.  As with MinHash, a capped
+    star pair still passes the ``hamming <= max_hamming`` verification, so
+    pass ``max_bucket=None`` explicitly for small exhaustive-pairs inputs
+    (oracle parity) rather than relying on buckets staying small."""
     n_blocks = max_hamming + 1
     if n_blocks > bits:
         raise ValueError("max_hamming + 1 block fields need bits >= blocks")

@@ -22,6 +22,7 @@ value-hash).  Engineering rules that make cross-engine hashes stable:
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -496,7 +497,8 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
     sigs = minhash_signatures(both, "text", "doc_id", k=_MH_K, shingle_n=3,
                               hash_mode="md5")
-    return lsh_candidate_pairs(sigs, bands=4, k=_MH_K)
+    # max_bucket=None: the DuckDB oracle is the exhaustive self-join
+    return lsh_candidate_pairs(sigs, bands=4, k=_MH_K, max_bucket=None)
 
 
 def _sql_minhash_lsh_pairs() -> str:
@@ -845,20 +847,50 @@ def q_table_metadata(spark, sf_dir):
               "column_name string, data_type string, ordinal int")
 
 
+_HK_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+
+
 def q_housekeeping(spark, sf_dir):
     """File-layout housekeeping stats + recommendation gates (reference
-    delta_housekeeping.py) over a generated partitioned dataset."""
-    import tempfile
+    delta_housekeeping.py) over generated partitioned datasets.
 
+    Deterministic by construction so the driver can hash it: file COUNTS
+    are pinned by the write plan (repartition(1) → exactly one file per
+    partition dir; repartition(8) with no partitioning → exactly eight
+    root files), and byte-dependent fields (sizes, which vary with codec
+    metadata) are projected OUT of the returned frame.  Scratch lives
+    under a fixed repo-local dir reused across runs (no mkdtemp leak)."""
     from .sources import housekeeping_recommendations, table_file_stats
     from .transcripts import generate_transcripts
 
-    tmp = tempfile.mkdtemp(prefix="dxs_hk_")
     df = generate_transcripts(spark, 200, seed=42)
-    df.withColumn("part", F.pmod(F.xxhash64("conv_id"), F.lit(4))) \
-      .repartition(2, "part").write.mode("overwrite") \
-      .partitionBy("part").parquet(tmp)
-    return housekeeping_recommendations(table_file_stats(spark, tmp, "hk"))
+    parted = os.path.join(_HK_SCRATCH, "hk_parted")
+    flat = os.path.join(_HK_SCRATCH, "hk_flat")
+    df.withColumn("part", F.pmod(F.col("turn_idx"), F.lit(4))) \
+      .repartition(1).write.mode("overwrite").partitionBy("part") \
+      .parquet(parted)
+    df.repartition(8).write.mode("overwrite").parquet(flat)
+    stats = table_file_stats(spark, parted, "hk_parted").unionByName(
+        table_file_stats(spark, flat, "hk_flat"))
+    return (housekeeping_recommendations(stats)
+            .select("table_name", "partition_id", "number_of_files",
+                    "rec_many_files"))
+
+
+def _sql_housekeeping() -> str:
+    """Expected-output VALUES oracle for the structure-stable columns of
+    :func:`q_housekeeping`: the write plan pins the file layout, so the
+    stats are known in advance (4 single-file partitions + 8 flat files)."""
+    rows = [("hk_parted", f"part={p}", 1, False) for p in range(4)]
+    rows.append(("hk_flat", "", 8, True))
+    values = ",\n".join(
+        f"('{t}', '{p}', {n}, {'TRUE' if g else 'FALSE'})"
+        for t, p, n, g in rows)
+    return (f"SELECT table_name, partition_id, "
+            f"CAST(number_of_files AS BIGINT) AS number_of_files, "
+            f"rec_many_files FROM (VALUES\n{values}\n) "
+            f"AS t(table_name, partition_id, number_of_files, rec_many_files)")
 
 
 # ---------------------------------------------------------------------------
@@ -1051,7 +1083,7 @@ def q_jaccard_verify_pairs(spark, sf_dir):
     both = docs.unionByName(
         docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
     sigs = minhash_signatures(both, "text", "doc_id", k=_MH_K, hash_mode="md5")
-    cands = lsh_candidate_pairs(sigs, bands=4, k=_MH_K)
+    cands = lsh_candidate_pairs(sigs, bands=4, k=_MH_K, max_bucket=None)
     return jaccard_pairs(both, "text", "doc_id", candidates=cands,
                          threshold=0.9)
 
@@ -1101,7 +1133,8 @@ def q_simhash_neardup(spark, sf_dir):
     both = docs.unionByName(
         docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
     return simhash_near_duplicates(both, "text", "doc_id", bits=16,
-                                   max_hamming=0, hash_mode="md5")
+                                   max_hamming=0, hash_mode="md5",
+                                   max_bucket=None)
 
 
 def _sql_simhash_neardup() -> str:
@@ -1700,6 +1733,6 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "scan_events_all_columns": (q_scan_events_all_columns,
                                 _sql_scan_events_all_columns()),
     "table_metadata": (q_table_metadata, _sql_table_metadata()),
-    "housekeeping": (q_housekeeping, None),  # file-size dependent
+    "housekeeping": (q_housekeeping, _sql_housekeeping()),
     "housekeeping_gates": (q_housekeeping_gates, _sql_housekeeping_gates()),
 }

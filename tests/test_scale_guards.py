@@ -51,7 +51,8 @@ def test_lsh_cap_equivalent_when_under_cap(spark):
         F.concat(F.lit("doc "), (F.col("id") % 10).cast("string"),
                  F.lit(" shared body of text for grouping purposes")).alias("text"))
     sigs = minhash_signatures(docs, "text", "doc_id", k=8)
-    uncapped = set(map(tuple, lsh_candidate_pairs(sigs, bands=4, k=8).collect()))
+    uncapped = set(map(tuple, lsh_candidate_pairs(sigs, bands=4, k=8,
+                                                  max_bucket=None).collect()))
     capped = set(map(tuple,
                      lsh_candidate_pairs(sigs, bands=4, k=8,
                                          max_bucket=1000).collect()))
@@ -115,6 +116,77 @@ def test_simhash_pigeonhole_recall(spark):
             if bin((a.sh ^ b.sh) & ((1 << 64) - 1)).count("1") <= 3:
                 truth.add((lo, hi))
     assert blocked == truth
+
+
+def test_lsh_and_simhash_defaults_are_capped(spark, hot_docs):
+    """Default arguments must survive a mega-cluster: no m²/2 blowup."""
+    sigs = minhash_signatures(hot_docs, "text", "doc_id", k=8)
+    n = lsh_candidate_pairs(sigs, bands=4, k=8).count()  # defaults
+    assert n <= 15_000
+    out = simhash_near_duplicates(hot_docs, "text", "doc_id")  # defaults
+    assert out.filter(F.col("id_a") == 0).count() == 9_999
+
+
+def test_simhash_md5_bits_guard():
+    with pytest.raises(ValueError, match="32 random bits"):
+        simhash_expr("text", bits=64, hash_mode="md5")
+
+
+@pytest.fixture(scope="module")
+def capped_collision_docs(spark):
+    """10 clones of text A + one text B that shares exactly ONE LSH band
+    with A (k=8, bands=4) but only 3/8 signature agreement (est 0.375) —
+    a banding collision of non-near docs inside an over-cap bucket."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    text_a = base + " tail1 word7 extra3"
+    text_b = base + " tail7 word10 extra10"
+    rows = [(i, text_a) for i in range(10)] + [(100, text_b)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_capped_star_pairs_verified_by_default(spark, capped_collision_docs):
+    """Documented guarantee (LIMITATIONS §8): a capped-bucket member is kept
+    only if its (representative, member) star pair itself passes
+    verification — the sub-threshold B is dropped by default."""
+    from discoverx_spark.operators.dedup import minhash_near_duplicates
+    out = {(r.id_a, r.id_b): r.est_jaccard
+           for r in minhash_near_duplicates(
+               capped_collision_docs, "text", "doc_id", k=8, bands=4,
+               threshold=0.9, max_bucket=5).collect()}
+    assert set(out) == {(0, i) for i in range(1, 10)}  # clones only
+    assert all(v == 1.0 for v in out.values())
+
+
+def test_capped_star_pairs_kept_when_requested(spark, capped_collision_docs):
+    from discoverx_spark.operators.dedup import minhash_near_duplicates
+    out = {(r.id_a, r.id_b): r.est_jaccard
+           for r in minhash_near_duplicates(
+               capped_collision_docs, "text", "doc_id", k=8, bands=4,
+               threshold=0.9, max_bucket=5,
+               keep_capped_star=True).collect()}
+    assert (0, 100) in out          # star pair bypasses verification
+    assert out[(0, 100)] < 0.9      # and reports its real estimate
+
+
+def test_dedup_clusters_keep_capped_bucket_connected(spark,
+                                                     capped_collision_docs):
+    """dedup_clusters routes star pairs into the components unverified, so
+    the banding-collision member stays in the mega-cluster's component
+    (precision traded for connectivity — LIMITATIONS §8)."""
+    from discoverx_spark.operators.dedup import dedup_clusters
+    comp = {r.id: r.component
+            for r in dedup_clusters(capped_collision_docs, "text", "doc_id",
+                                    k=8, bands=4, threshold=0.9,
+                                    max_bucket=5).collect()}
+    assert comp[100] == 0
+
+
+def test_connected_components_nonconvergence_warns(spark):
+    from discoverx_spark.operators.dedup import connected_components
+    chain = spark.createDataFrame([(i, i + 1) for i in range(10)],
+                                  "id_a long, id_b long")
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(chain, max_iter=2).collect()
 
 
 def test_bucket_pairs_star_carries_extra_cols(spark):
