@@ -728,16 +728,101 @@ def q_perplexity_documents(spark, sf_dir):
                        .alias("perplexity"))
 
 
+_XXH_CONVS = 60
+_XXH_CLONE_OFFSET = 10_000_000
+
+
 def q_minhash_neardup_xxhash(spark, sf_dir):
     """Production-path MinHash near-dup (xxhash64 family, k=16, verified
-    signature agreement) over documents ∪ clones — every doc must pair
-    with its clone at est_jaccard 1.0."""
+    signature agreement) over deterministic generated transcript turns ∪
+    clones — every turn must pair with its clone at est_jaccard 1.0, plus
+    genuine near-dups (boilerplate, repeated sentences).
+
+    Input is generated (not sf-read) so the expected output is computable
+    driver-side: DuckDB has no xxhash64, so the oracle is a VALUES table
+    built from an independent pure-Python XXH64 (functions/xxh.py,
+    validated byte-for-byte against Spark in tests/test_xxh.py)."""
     from .operators.dedup import minhash_near_duplicates
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    from .transcripts import generate_transcripts
+    turns = generate_transcripts(spark, _XXH_CONVS, seed=42)
+    docs = turns.select(
+        (F.regexp_extract("conv_id", r"(\d+)$", 1).cast("long") * 1000
+         + F.col("turn_idx")).alias("doc_id"),
+        "text").filter(F.col("text").isNotNull())
     both = docs.unionByName(
-        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+        docs.select((F.col("doc_id") + _XXH_CLONE_OFFSET).alias("doc_id"),
+                    "text"))
     return minhash_near_duplicates(both, "text", "doc_id", k=16, bands=8,
                                    threshold=0.7, hash_mode="xxhash64")
+
+
+def _sql_minhash_neardup_xxhash() -> str:
+    """Expected-output VALUES oracle: an independent pure-Python
+    re-implementation of the whole xxhash64 MinHash-LSH pipeline
+    (tokenize → 3-shingles → 16 xxhash64 min-hashes → 8-band md5 banding →
+    bucket pairs → signature-agreement ≥ 0.7) over the identical
+    deterministic input.  Shares NO Spark execution: hashing comes from
+    functions/xxh.py, itself validated against `SELECT xxhash64(...)`."""
+    import hashlib
+    import re as _re
+
+    from .functions.xxh import spark_xxhash64_string
+    from .transcripts import generate_transcripts_pandas
+
+    k, bands, threshold = 16, 8, 0.7
+    rows_per_band = k // bands
+
+    pdf = generate_transcripts_pandas(_XXH_CONVS, seed=42)
+    docs = []
+    for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"],
+                                       pdf["text"]):
+        if text is None:
+            continue
+        doc_id = int(conv_id.rsplit("-", 1)[1]) * 1000 + int(turn_idx)
+        docs.append((doc_id, text))
+    docs += [(i + _XXH_CLONE_OFFSET, t) for i, t in docs]
+
+    sig_cache = {}
+
+    def signature(text):
+        sig = sig_cache.get(text)
+        if sig is None:
+            toks = _re.findall(r"\S+", text.lower())
+            if len(toks) >= 3:
+                shingles = [" ".join(toks[i:i + 3])
+                            for i in range(len(toks) - 2)]
+            else:
+                shingles = [" ".join(toks)]
+            sig = tuple(
+                min(spark_xxhash64_string(s, extra_int=i) for s in shingles)
+                for i in range(k))
+            sig_cache[text] = sig
+        return sig
+
+    sigs = {doc_id: signature(text) for doc_id, text in docs}
+    buckets = {}
+    for doc_id, sig in sigs.items():
+        for b in range(bands):
+            parts = sig[b * rows_per_band:(b + 1) * rows_per_band]
+            key = (b, hashlib.md5(
+                ",".join(str(p) for p in parts).encode()).hexdigest())
+            buckets.setdefault(key, []).append(doc_id)
+    pairs = set()
+    for members in buckets.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+    out = []
+    for id_a, id_b in sorted(pairs):
+        agree = sum(x == y for x, y in zip(sigs[id_a], sigs[id_b]))
+        est = agree / k
+        if est >= threshold:
+            out.append((id_a, id_b, est))
+    values = ",\n".join(f"({a}, {b}, {_sql_lit(e)})" for a, b, e in out)
+    return (f"SELECT CAST(id_a AS BIGINT) AS id_a, "
+            f"CAST(id_b AS BIGINT) AS id_b, est_jaccard "
+            f"FROM (VALUES\n{values}\n) AS t(id_a, id_b, est_jaccard)")
 
 
 def q_union_distinct_event_types(spark, sf_dir):
@@ -1704,7 +1789,8 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "perplexity_documents": (q_perplexity_documents,
                              _sql_perplexity_documents()),
     # dedup / similarity scale paths (oracle-backed since round 2)
-    "minhash_neardup_xxhash": (q_minhash_neardup_xxhash, None),  # xxhash64
+    "minhash_neardup_xxhash": (q_minhash_neardup_xxhash,
+                               _sql_minhash_neardup_xxhash()),
     "simhash_neardup": (q_simhash_neardup, _sql_simhash_neardup()),
     "jaccard_verify_pairs": (q_jaccard_verify_pairs,
                              _sql_jaccard_verify_pairs()),
