@@ -649,13 +649,14 @@ def _sql_lit(v) -> str:
 
 
 def _sql_transcripts_pipeline() -> str:
-    """Expected-output oracle: the driver-local reference implementation
-    (pipeline.decide_pandas — same feature closure, independent gate logic)
-    over the identical deterministic input, inlined as VALUES."""
-    from .pipeline import decide_pandas
+    """Expected-output oracle: the fully INDEPENDENT driver-side reference
+    implementation (oracle_ref.reference_decide — shares zero feature code
+    with the production UDF; features re-derived from the spec data) over
+    the identical deterministic input, inlined as VALUES."""
+    from .oracle_ref import reference_decide
     from .transcripts import generate_transcripts_pandas
 
-    expected = decide_pandas(generate_transcripts_pandas(_TP_CONVS, seed=42))
+    expected = reference_decide(generate_transcripts_pandas(_TP_CONVS, seed=42))
     cols = list(expected.columns)
     rows = ",\n".join(
         "(" + ", ".join(_sql_lit(v) for v in row) + ")"
