@@ -41,6 +41,11 @@ HEADLINE = [
     "minhash_signatures_documents", "minhash_lsh_pairs", "simhash_documents",
     "cosine_topk_embeddings", "transcripts_pipeline",
     "transcripts_conversation_stats",
+    # production xxhash64 path (bench-only twin; the md5 twin above is the
+    # oracle-checked version). dedup_clusters_sf is NOT a headline: its
+    # cost is iteration-count × driver-round-trips (connected components),
+    # not per-row work, so it would measure the loop, not the operators.
+    "minhash_neardup_xxhash_sf",
 ]
 
 
@@ -85,6 +90,7 @@ def warm_python_workers(spark, cpus: int) -> None:
 
 
 def run_headline() -> dict:
+    from discoverx_spark import queries as qmod
     from discoverx_spark.queries import QUERIES
 
     spark = make_session(CPUS, "bench-headline")
@@ -98,7 +104,8 @@ def run_headline() -> dict:
     # operator, not the JVM warmup
     for rep in range(2):
         for name in HEADLINE:
-            fn, _sql = QUERIES[name]
+            fn = QUERIES[name][0] if name in QUERIES \
+                else getattr(qmod, f"q_{name}")  # bench-only twins
             t0 = time.perf_counter()
             force(fn(spark, SF_DIR))
             dt = round(time.perf_counter() - t0, 3)
@@ -182,9 +189,11 @@ def write_baseline_md(result: dict) -> None:
         f"**{tr['low_turns_per_sec']:,.0f} turns/sec**",
         f"- local[{tr['high_cpus']}]: {tr['high_sec']} s → "
         f"**{tr['high_turns_per_sec']:,.0f} turns/sec**",
-        f"- scaling efficiency (best time-paired rep, "
+        f"- scaling efficiency (median time-paired rep, "
         f"N→{tr['high_cpus']//tr['low_cpus']}N): "
-        f"**{tr['efficiency']:.3f}** (target ≥ 0.8)",
+        f"**{tr['efficiency']:.3f}** (target ≥ 0.8; best rep "
+        f"{tr.get('efficiency_best', tr['efficiency']):.3f}, "
+        f"all reps {tr.get('efficiency_reps', [])})",
         "",
         "Measurement notes: each level runs in a fresh process pinned with",
         "`taskset -c` to exactly N CPUs (otherwise a small session's JVM +",
@@ -193,9 +202,10 @@ def write_baseline_md(result: dict) -> None:
         "level, min of two timed runs inside each pinned child (steady",
         "state); throughputs above are the min over reps. Efficiency is",
         "computed WITHIN each rep (its high and low runs are adjacent in",
-        "time and see the same host state) and the best rep is reported —",
-        "pairing global mins mixes different burst windows on this",
-        "heavily drifting host and understates scaling.",
+        "time and see the same host state) and the MEDIAN rep is the",
+        "headline (best rep shown alongside) — pairing global mins mixes",
+        "different burst windows on this heavily drifting host and",
+        "understates scaling, while a max over reps would overstate it.",
         "Machine ceiling measured independently: the identical Python text",
         "kernel in plain multiprocessing (no Spark) scales 4→16 procs at",
         "0.878 efficiency and 8→32 at 0.77 (memory bandwidth), which bounds",
@@ -309,13 +319,18 @@ def main() -> None:
     timings = run_headline()
     tp_low, tp_high = n_turns / t_low, n_turns / t_high
     # efficiency is computed WITHIN each rep (the high and low runs of one
-    # rep are adjacent in time, so they see the same host state) and the
-    # best rep is reported: pairing the global min of each level mixes
-    # measurements from different burst windows and systematically
-    # understates scaling on this drifting host. Throughputs above stay
-    # min-based (the best each level demonstrably achieved).
-    eff = max(lo / (hi * (high_cpus / low_cpus))
-              for hi, lo in zip(highs, lows))
+    # rep are adjacent in time, so they see the same host state): pairing
+    # the global min of each level mixes measurements from different burst
+    # windows and systematically understates scaling on this drifting
+    # host. The MEDIAN paired rep is the headline (a max over reps is a
+    # favorable-selection statistic); the best rep is reported alongside.
+    # Throughputs above stay min-based (the best each level demonstrably
+    # achieved).
+    import statistics
+    effs = [lo / (hi * (high_cpus / low_cpus))
+            for hi, lo in zip(highs, lows)]
+    eff = statistics.median(effs)
+    eff_best = max(effs)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -334,6 +349,8 @@ def main() -> None:
             "low_turns_per_sec": round(tp_low, 1),
             "high_turns_per_sec": round(tp_high, 1),
             "efficiency": round(eff, 4),
+            "efficiency_best": round(eff_best, 4),
+            "efficiency_reps": [round(e, 4) for e in effs],
         },
     }
     write_baseline_md(result)

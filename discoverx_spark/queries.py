@@ -826,6 +826,32 @@ def _sql_minhash_neardup_xxhash() -> str:
             f"FROM (VALUES\n{values}\n) AS t(id_a, id_b, est_jaccard)")
 
 
+def q_minhash_neardup_xxhash_sf(spark, sf_dir):
+    """Bench-only sf-scale twin of `minhash_neardup_xxhash`: the production
+    hash family over the real documents table ∪ clones with default
+    (capped) settings.  Not in QUERIES — its input scales with sf_dir, so
+    it has no static VALUES oracle; the algorithm is oracle-checked by
+    `minhash_neardup_xxhash` (generated input) and `minhash_lsh_pairs`
+    (md5 twin).  bench.py times it so the fast path has tracked numbers."""
+    from .operators.dedup import minhash_near_duplicates
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    both = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    return minhash_near_duplicates(both, "text", "doc_id", k=16, bands=8,
+                                   threshold=0.7, hash_mode="xxhash64")
+
+
+def q_dedup_clusters_sf(spark, sf_dir):
+    """Bench-only: end-to-end xxhash near-dup clustering (LSH candidates →
+    verify → connected components) over documents ∪ clones."""
+    from .operators.dedup import dedup_clusters
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    both = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    return dedup_clusters(both, "text", "doc_id", k=16, bands=8,
+                          threshold=0.7)
+
+
 def q_union_distinct_event_types(spark, sf_dir):
     """Union fold + DISTINCT (reference msql.py:144 / table_info.py:168)."""
     ev = _t(spark, sf_dir, "events")
