@@ -60,8 +60,10 @@ class DataExplorer:
         return replace(self, _having_columns=self._having_columns + columns)
 
     def having_tag(self, key: str, value: Optional[str] = None) -> "DataExplorer":
-        """Restrict to tables carrying a governance tag (reference
-        with_tags / TagsInfo filters, table_info.py:237-317)."""
+        """Restrict to tables carrying a governance tag at ANY level —
+        catalog, schema, or table, most specific level winning on key
+        conflicts (reference with_tags / TagsInfo filters,
+        table_info.py:237-317)."""
         return replace(self, _having_tags=self._having_tags + ((key, value),))
 
     def having_column_tag(self, key: str,
@@ -87,8 +89,9 @@ class DataExplorer:
                      <= set(self.registry.get(n).columns)]
         for key, value in self._having_tags:
             names = [n for n in names
-                     if key in self.registry.tags(n)
-                     and (value is None or self.registry.tags(n)[key] == value)]
+                     if key in self.registry.effective_tags(n)
+                     and (value is None
+                          or self.registry.effective_tags(n)[key] == value)]
         for key, value in self._having_column_tags:
             names = [n for n in names
                      if self.registry.columns_with_tag(n, key, value)]

@@ -205,14 +205,19 @@ def ivf_train(corpus: DataFrame, n_centroids: int = 16, n_iter: int = 5,
 
     Deterministic: initial centroids are the ``n_centroids`` smallest ids
     (not random), and every iteration is a broadcast-assign (corpus never
-    shuffled by vector) + one groupBy(centroid) mean over dimension-exploded
-    components.  Per iteration the shuffle carries only
-    ``n_centroids × dim`` partial sums (map-side combined) — at 10^9
-    vectors the corpus is read per iteration but never re-partitioned.
+    shuffled by vector) + a posexplode → groupBy(centroid, dim_idx) mean.
+    The per-dimension sums are map-side combined, so per iteration the
+    shuffle carries only ``tasks × n_centroids × dim`` partial-sum ROWS —
+    the same volume as a wide per-dimension aggregate but with O(1) plan
+    width: at embedding dims of 1536+ a ``dim``-column aggregate makes
+    Catalyst compile thousands of expressions per iteration (and hits
+    codegen limits), while the exploded shape is dimension-oblivious.
+    At 10^9 vectors the corpus is read per iteration but never
+    re-partitioned.
 
     Returns (centroid_id, centroid: array<double>)."""
-    dim_df = corpus.select(F.size(vec_col).alias("d")).limit(1).collect()
-    dim = dim_df[0]["d"]
+    from pyspark.sql.window import Window
+
     c = corpus.select(F.col(id_col).alias("id"),
                       F.col(vec_col).cast("array<double>").alias("v"))
     centroids = (c.orderBy("id").limit(n_centroids)
@@ -224,18 +229,19 @@ def ivf_train(corpus: DataFrame, n_centroids: int = 16, n_iter: int = 5,
         scored = (c.crossJoin(F.broadcast(cent))
                   .select("id", "v", "centroid_id",
                           cosine_expr(F.col("v"), F.col("cent_vec")).alias("sim")))
-        from pyspark.sql.window import Window
         w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("centroid_id"))
         assigned = (scored.withColumn("rn", F.row_number().over(w))
                     .filter(F.col("rn") == 1).select("centroid_id", "v"))
-        # per-dimension mean via k partial sums (algebraic -> map-side combine)
-        sums = assigned.groupBy("centroid_id").agg(
-            F.count("*").alias("n"),
-            *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dim)])
-        centroids = sums.select(
-            "centroid_id",
-            F.array(*[(F.col(f"s{i}") / F.col("n")) for i in range(dim)])
-            .alias("centroid")).localCheckpoint(eager=True)
+        sums = (assigned
+                .select("centroid_id", F.posexplode("v").alias("dim_idx", "x"))
+                .groupBy("centroid_id", "dim_idx")
+                .agg((F.sum("x") / F.count("*")).alias("mean")))
+        centroids = (sums.groupBy("centroid_id")
+                     .agg(F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("dim_idx", "mean"))),
+                         lambda s: s["mean"]).alias("centroid"))
+                     .localCheckpoint(eager=True))
     return centroids
 
 

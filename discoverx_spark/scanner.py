@@ -192,6 +192,8 @@ class TableRegistry:
         self._tables: Dict[str, Callable[[], DataFrame]] = {}
         self._tags: Dict[str, Dict[str, str]] = {}
         self._column_tags: Dict[str, Dict[str, Dict[str, str]]] = {}
+        self._catalog_tags: Dict[str, Dict[str, str]] = {}
+        self._schema_tags: Dict[str, Dict[str, str]] = {}
 
     def register(self, full_name: str,
                  df_or_supplier: Union[DataFrame, Callable[[], DataFrame]],
@@ -209,10 +211,33 @@ class TableRegistry:
             self._column_tags[full_name] = {c: dict(t)
                                             for c, t in column_tags.items()}
 
+    def tag_catalog(self, catalog: str, tags: Dict[str, str]) -> None:
+        """Attach catalog-level governance tags (reference TagsInfo carries
+        catalog_tags, table_info.py:15-33) — inherited by every table in
+        the catalog unless overridden at a more specific level."""
+        self._catalog_tags.setdefault(catalog, {}).update(tags)
+
+    def tag_schema(self, catalog_schema: str, tags: Dict[str, str]) -> None:
+        """Attach schema-level tags (``"catalog.schema"`` key; reference
+        schema_tags, table_info.py:15-33)."""
+        if catalog_schema.count(".") != 1:
+            raise ValueError(f"expected catalog.schema, got {catalog_schema!r}")
+        self._schema_tags.setdefault(catalog_schema, {}).update(tags)
+
     def tags(self, full_name: str) -> Dict[str, str]:
         """Table-level governance tags (reference TagsInfo,
         table_info.py:15-33)."""
         return dict(self._tags.get(full_name, {}))
+
+    def effective_tags(self, full_name: str) -> Dict[str, str]:
+        """Tags visible at a table: catalog ∪ schema ∪ table, most specific
+        level winning on key conflicts (the reference matches having_tag
+        against all levels of TagsInfo, table_info.py:237-317)."""
+        cat, sch, _tbl = full_name.split(".")
+        out = dict(self._catalog_tags.get(cat, {}))
+        out.update(self._schema_tags.get(f"{cat}.{sch}", {}))
+        out.update(self._tags.get(full_name, {}))
+        return out
 
     def column_tags(self, full_name: str) -> Dict[str, Dict[str, str]]:
         """Column-level governance tags ({column: {key: value}}) — the

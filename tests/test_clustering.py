@@ -70,3 +70,29 @@ def test_ivf_train_and_assign(spark):
                                           F.sum("count").alias("n"))
               .select((F.sum("top") / F.sum("n")).alias("p")).collect()[0]["p"])
     assert purity > 0.95
+
+
+def test_ivf_train_high_dim_bounded_plan(spark):
+    """At embedding dims (512 here, 1536+ in production) training must not
+    build a dim-wide aggregate: the posexplode shape keeps the optimized
+    plan dimension-oblivious (VERDICT r2 #9)."""
+    import numpy as np
+    dim, n = 512, 64
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in
+                 np.eye(4)[i % 4].repeat(dim // 4) + rng.randn(dim) * 0.02])
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_train(df, n_centroids=4, n_iter=2)
+    got = cents.collect()
+    assert len(got) == 4
+    assert all(len(r.centroid) == dim for r in got)
+    # plan size must not scale with dim: a 512-column aggregate would blow
+    # far past this bound
+    plan = cents._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 20_000, len(plan)
+    # means are genuinely per-dimension: each centroid tracks one axis block
+    m = {r.centroid_id: np.array(r.centroid) for r in got}
+    for cid, vec in m.items():
+        blocks = vec.reshape(4, dim // 4).mean(axis=1)
+        assert blocks.max() > 0.8 and sorted(blocks)[-2] < 0.2

@@ -104,6 +104,33 @@ def test_explorer_having_column_tag(dx_tagged):
     assert none == []
 
 
+def test_catalog_and_schema_level_tags(dx_tagged):
+    """Reference attaches tags at four levels (table_info.py:15-33);
+    having_tag must match any level, most specific winning on conflicts."""
+    reg = dx_tagged.registry
+    reg.tag_catalog("main", {"env": "prod", "domain": "platform"})
+    reg.tag_schema("main.default", {"owner": "data-eng"})
+
+    eff = reg.effective_tags("main.default.logs")
+    assert eff["env"] == "prod" and eff["owner"] == "data-eng"
+    assert eff["domain"] == "ops"  # table-level overrides catalog-level
+    assert reg.effective_tags("main.default.users")["domain"] == "crm"
+
+    # catalog-level tag matches every table in the catalog
+    names = dx_tagged.from_tables("main.*.*").having_tag("env", "prod") \
+        .table_names()
+    assert names == ["main.default.logs", "main.default.users"]
+    # schema-level tag
+    assert dx_tagged.from_tables("*.*.*").having_tag("owner").table_names() \
+        == ["main.default.logs", "main.default.users"]
+    # specificity: domain=platform (catalog) is shadowed by both tables
+    assert dx_tagged.from_tables("*.*.*") \
+        .having_tag("domain", "platform").table_names() == []
+    # table-level value still reachable
+    assert dx_tagged.from_tables("*.*.*") \
+        .having_tag("domain", "ops").table_names() == ["main.default.logs"]
+
+
 def test_search_auto_classification(dx_tagged):
     dx = dx_tagged
     dx.scan(from_tables="main.default.users", sample_size=None)
