@@ -377,16 +377,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
     This is the consumer of the capped candidate streams: star pairs from
     hot buckets plus ordinary pairs both collapse into canonical clusters.
-    Algorithm: iterative min-label propagation (the Spark formulation of
-    union-find): each round every node adopts the minimum label among
-    itself and its neighbors, via one groupBy per round over the (short)
-    edge list.  Convergence needs O(graph diameter) rounds — real dedup
-    graphs are shallow (star pairs make most clusters diameter ≤ 2, so 2-3
-    rounds typical), but a pathological length-``d`` chain needs ~d rounds;
-    if the loop exits without converging a ``RuntimeWarning`` is raised so
-    wrong component ids can never pass silently (raise ``max_iter``, or
-    use a large-star/small-star variant for true O(log n) on deep graphs).
-    ``localCheckpoint`` truncates the growing lineage each round.
+    Algorithm: min-label propagation with POINTER JUMPING — each round
+    every node adopts the minimum label among itself and its neighbors
+    (one groupBy over the short edge list), then labels are flattened one
+    level (``label := label(label)``, a self-join).  Jumping is what turns
+    O(diameter) propagation into O(log diameter): a length-d chain
+    converges in ~log₂(d) rounds instead of d (regression-tested on a
+    256-node path).  Correctness invariant: a node's label is always the
+    id of some node reachable from it, and labels only decrease, so the
+    fixpoint is the reachable minimum.  If the loop still exits without
+    converging a ``RuntimeWarning`` is raised so wrong component ids can
+    never pass silently (raise ``max_iter``).  ``localCheckpoint``
+    truncates the growing lineage each round.
 
     Shuffles only (node, label) longs — never payload columns."""
     edges = (pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
@@ -402,10 +404,19 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         prop = (edges.join(lbl_b, on="b")
                 .groupBy(F.col("a").alias("id"))
                 .agg(F.min("nbr_component").alias("nbr_min")))
-        new_labels = (labels.join(prop, on="id", how="left")
+        stepped = (labels.join(prop, on="id", how="left")
+                   .select("id",
+                           F.least(F.col("component"),
+                                   F.coalesce("nbr_min", F.col("component")))
+                           .alias("component")))
+        # pointer jump: label := label(label) — label targets are node ids,
+        # so the lookup is a self-join on the same (id, component) frame
+        jump = stepped.select(F.col("id").alias("component"),
+                              F.col("component").alias("_jump"))
+        new_labels = (stepped.join(jump, on="component", how="left")
                       .select("id",
                               F.least(F.col("component"),
-                                      F.coalesce("nbr_min", F.col("component")))
+                                      F.coalesce("_jump", F.col("component")))
                               .alias("component"))
                       .localCheckpoint(eager=True))
         changed = (new_labels.alias("n")

@@ -183,10 +183,27 @@ def test_dedup_clusters_keep_capped_bucket_connected(spark,
 
 def test_connected_components_nonconvergence_warns(spark):
     from discoverx_spark.operators.dedup import connected_components
-    chain = spark.createDataFrame([(i, i + 1) for i in range(10)],
+    # 400-node path: even with pointer jumping, 1 round cannot converge
+    chain = spark.createDataFrame([(i, i + 1) for i in range(400)],
                                   "id_a long, id_b long")
     with pytest.warns(RuntimeWarning, match="did not converge"):
-        connected_components(chain, max_iter=2).collect()
+        connected_components(chain, max_iter=1).collect()
+
+
+def test_connected_components_log_rounds_on_deep_chain(spark):
+    """Pointer jumping: a 256-node path (diameter 255) must converge well
+    inside the default max_iter=20 (plain propagation would need ~255
+    rounds) and produce the single correct component."""
+    import warnings
+    from discoverx_spark.operators.dedup import connected_components
+    chain = spark.createDataFrame([(i, i + 1) for i in range(255)],
+                                  "id_a long, id_b long")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        comp = {r.id: r.component
+                for r in connected_components(chain).collect()}
+    assert set(comp) == set(range(256))
+    assert set(comp.values()) == {0}
 
 
 def test_bucket_pairs_star_carries_extra_cols(spark):
