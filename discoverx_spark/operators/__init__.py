@@ -8,6 +8,9 @@ from .dedup import (tokens_expr, shingles_expr, exact_duplicates, dedup_exact,
                     lsh_candidate_pairs, minhash_near_duplicates,
                     jaccard_pairs, simhash_expr, simhash_near_duplicates,
                     connected_components, dedup_clusters)
+from .packing import pack_sequences, token_counts, top_tokens
+from .sampling import (hash_sample, split_train_holdout,
+                       stratified_hash_sample)
 from .similarity import (dot_expr, norm_expr, cosine_expr, brute_force_topk,
                          embedding_near_duplicates, lsh_topk, ivf_train, ivf_assign,
                          ivf_topk, lsh_near_duplicates,
@@ -26,4 +29,6 @@ __all__ = [
     "dot_expr", "norm_expr", "cosine_expr", "brute_force_topk",
     "embedding_near_duplicates", "lsh_topk", "ivf_train", "ivf_assign", "ivf_topk",
     "lsh_signature_expr",
+    "pack_sequences", "token_counts", "top_tokens",
+    "hash_sample", "stratified_hash_sample", "split_train_holdout",
 ]

@@ -1,0 +1,64 @@
+"""Sequence packing and corpus vocabulary — pretraining-prep operators.
+
+``pack_sequences`` implements the standard concat-then-chunk packing used
+to fill fixed context windows: documents are laid out on one token tape in
+a deterministic total order (ORDER BY id), and each document is assigned
+the context window in which its first token lands
+(``bin_id = floor(start_offset / max_tokens)``).  Spark shape: one
+running-sum window — a range-partitioned sort, the minimal machinery for a
+global order.  At 100 TB pass ``partition_col`` (shard/language) so the
+sort and the window stay within partitions (one tape per partition, no
+global coordination).
+
+``token_counts`` / ``top_tokens`` build the corpus vocabulary: explode →
+groupBy(token) with map-side partial aggregation (the shuffle carries one
+row per distinct token per task, not per occurrence); top-k is a
+TakeOrdered, never a full sort collect.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import token_count_expr, tokens_sql_expr
+
+
+def pack_sequences(df: DataFrame, id_col: str, text_col: str,
+                   max_tokens: int,
+                   partition_col: Optional[str] = None) -> DataFrame:
+    """(id, n_tokens, start_offset, bin_id[, partition]) — concat-then-chunk
+    window assignment under a deterministic (partition, id) total order."""
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    w = (Window.partitionBy(partition_col) if partition_col
+         else Window.partitionBy()).orderBy("id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = df.select(
+        *([partition_col] if partition_col else []),
+        F.col(id_col).alias("id"),
+        F.coalesce(token_count_expr(text_col), F.lit(0))
+        .cast("long").alias("n_tokens"))
+    cum = base.withColumn("_cum", F.sum("n_tokens").over(w))
+    return (cum.withColumn("start_offset", F.col("_cum") - F.col("n_tokens"))
+            .withColumn("bin_id",
+                        F.floor(F.col("start_offset") / max_tokens))
+            .drop("_cum"))
+
+
+def token_counts(df: DataFrame, text_col: str,
+                 min_count: int = 1) -> DataFrame:
+    """(token, count) over lowercased whitespace tokens."""
+    toks = df.select(F.explode(tokens_sql_expr(text_col)).alias("token"))
+    out = toks.groupBy("token").agg(F.count("*").alias("count"))
+    return out.filter(F.col("count") >= min_count) if min_count > 1 else out
+
+
+def top_tokens(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
+    """Top-k vocabulary with a deterministic total order (count desc,
+    token asc)."""
+    return (token_counts(df, text_col)
+            .orderBy(F.desc("count"), F.asc("token")).limit(k))

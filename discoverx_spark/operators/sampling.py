@@ -1,0 +1,79 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample()`` is seed-deterministic only for a FIXED physical
+partitioning: a resume, a repartition, or a different cluster size yields a
+different sample — unacceptable for the resumable 10^12-turn pipeline
+(SURVEY §7 determinism invariant).  These operators key the keep/drop
+decision on a HASH OF THE ROW KEY instead, so the sample is a pure
+projection + filter: partitioning-invariant, resume-safe, pushdown-friendly
+(the filter sits directly on the scan), and reproducible in ANSI SQL for
+the oracle (md5 family; production uses xxhash64, same shape).
+
+Reference tie-in: the reference samples with ``TABLESAMPLE (N ROWS)``
+(scanner.py:338) — read-order biased; this is the scale-correct
+replacement (same role as classify_scores' ``sample_fraction``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# bucket space for the keep threshold; 2^20 gives fraction granularity
+# ~1e-6 while staying far under the 2^32 entropy of the md5-derived hash
+BUCKETS = 1 << 20
+
+
+def _bucket_expr(key, hash_mode: str = "xxhash64") -> Column:
+    """Uniform bucket in [0, BUCKETS) from the row key (key is cast to
+    string first so both hash families and the SQL oracle agree on the
+    hashed bytes)."""
+    c = key if isinstance(key, Column) else F.col(key)
+    s = c.cast("string")
+    if hash_mode == "xxhash64":
+        return F.pmod(F.xxhash64(s), F.lit(BUCKETS))
+    if hash_mode == "md5":
+        h = F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        return F.pmod(h, F.lit(BUCKETS))
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float,
+                hash_mode: str = "xxhash64") -> DataFrame:
+    """Keep rows whose key hashes into the first ``fraction`` of bucket
+    space — a deterministic Bernoulli-style sample, invariant to
+    partitioning/read order/cluster size."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return df.filter(
+        _bucket_expr(key_col, hash_mode) < int(round(fraction * BUCKETS)))
+
+
+def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str,
+                           fractions: Dict[str, float],
+                           default_fraction: float = 0.0,
+                           hash_mode: str = "xxhash64") -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing for a
+    training mix: keep 10% of English, 100% of low-resource languages).
+    The per-row threshold is a small when-chain over stratum literals —
+    whole-stage codegen, no join, no shuffle."""
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in [0,1]")
+    thr: Column = F.lit(int(round(default_fraction * BUCKETS)))
+    for s, f in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == s,
+                     F.lit(int(round(f * BUCKETS)))).otherwise(thr)
+    return df.filter(_bucket_expr(key_col, hash_mode) < thr)
+
+
+def split_train_holdout(df: DataFrame, key_col: str, holdout_fraction: float,
+                        hash_mode: str = "xxhash64") -> tuple:
+    """(train, holdout) disjoint deterministic split on the same hash —
+    the two sides partition the bucket space, so no row appears in both
+    regardless of when or where each side is computed."""
+    cut = int(round(holdout_fraction * BUCKETS))
+    b = _bucket_expr(key_col, hash_mode)
+    return df.filter(b >= cut), df.filter(b < cut)

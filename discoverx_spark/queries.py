@@ -826,6 +826,102 @@ def _sql_minhash_neardup_xxhash() -> str:
             f"FROM (VALUES\n{values}\n) AS t(id_a, id_b, est_jaccard)")
 
 
+# -- training-mix prep: deterministic sampling, packing, vocabulary --------
+
+_SAMPLE_BUCKETS = 1 << 20
+
+
+def _sql_bucket(key_sql: str) -> str:
+    """DuckDB rendering of sampling._bucket_expr (md5 family)."""
+    return (f"(('0x'||substr(md5(CAST({key_sql} AS VARCHAR)),1,8))::BIGINT "
+            f"% {_SAMPLE_BUCKETS})")
+
+
+def q_sample_documents(spark, sf_dir):
+    """Partitioning-invariant deterministic 25% sample (hash of the row
+    key, not df.sample) — the resume-safe replacement for the reference's
+    TABLESAMPLE (scanner.py:338)."""
+    from .operators.sampling import hash_sample
+    docs = _t(spark, sf_dir, "documents").repartition(32)
+    return hash_sample(docs, "doc_id", 0.25, hash_mode="md5")
+
+
+def _sql_sample_documents() -> str:
+    thr = int(round(0.25 * _SAMPLE_BUCKETS))
+    return (f"SELECT * FROM documents WHERE {_sql_bucket('doc_id')} < {thr}")
+
+
+_STRATA_FRACTIONS = {"en": 0.25, "de": 1.0, "fr": 0.5, "zh": 0.0}
+_STRATA_DEFAULT = 0.1
+
+
+def q_stratified_sample_documents(spark, sf_dir):
+    """Per-language rebalancing sample (training-mix shaping): keep 25% of
+    English, all German, half French, no Chinese, 10% of the rest —
+    deterministic per row key, zero shuffle (a when-chain threshold)."""
+    from .operators.sampling import stratified_hash_sample
+    docs = _t(spark, sf_dir, "documents").repartition(32)
+    return stratified_hash_sample(docs, "doc_id", "lang", _STRATA_FRACTIONS,
+                                  default_fraction=_STRATA_DEFAULT,
+                                  hash_mode="md5")
+
+
+def _sql_stratified_sample_documents() -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN {int(round(f * _SAMPLE_BUCKETS))}"
+        for s, f in sorted(_STRATA_FRACTIONS.items()))
+    default = int(round(_STRATA_DEFAULT * _SAMPLE_BUCKETS))
+    return (f"SELECT * FROM documents WHERE {_sql_bucket('doc_id')} < "
+            f"(CASE lang {arms} ELSE {default} END)")
+
+
+def q_pack_sequences_documents(spark, sf_dir):
+    """Concat-then-chunk sequence packing into 256-token context windows,
+    one tape per language (partition-local sort + running-sum window)."""
+    from .operators.packing import pack_sequences
+    docs = _t(spark, sf_dir, "documents").repartition(32)
+    return pack_sequences(docs, "doc_id", "text", max_tokens=256,
+                          partition_col="lang")
+
+
+def _sql_pack_sequences_documents() -> str:
+    return r"""
+WITH toks AS (
+  SELECT lang, doc_id AS id,
+         CAST(coalesce(len(regexp_extract_all(text, '(\S+)', 1)), 0)
+              AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT lang, id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS start_offset
+  FROM toks)
+SELECT lang, id, n_tokens, start_offset,
+       CAST(floor(start_offset / 256.0) AS BIGINT) AS bin_id
+FROM cum
+"""
+
+
+def q_vocab_top_tokens(spark, sf_dir):
+    """Corpus vocabulary top-50 (map-side-combined token counts, total
+    order for determinism)."""
+    from .operators.packing import top_tokens
+    docs = _t(spark, sf_dir, "documents").repartition(32)
+    return top_tokens(docs, "text", k=50)
+
+
+def _sql_vocab_top_tokens() -> str:
+    return r"""
+SELECT token, CAST(count(*) AS BIGINT) AS count
+FROM (SELECT unnest(regexp_extract_all(lower(text), '(\S+)', 1)) AS token
+      FROM documents)
+GROUP BY token
+ORDER BY count(*) DESC, token ASC
+LIMIT 50
+"""
+
+
 def q_minhash_neardup_xxhash_sf(spark, sf_dir):
     """Bench-only sf-scale twin of `minhash_neardup_xxhash`: the production
     hash family over the real documents table ∪ clones with default
@@ -1848,4 +1944,11 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "table_metadata": (q_table_metadata, _sql_table_metadata()),
     "housekeeping": (q_housekeeping, _sql_housekeeping()),
     "housekeeping_gates": (q_housekeeping_gates, _sql_housekeeping_gates()),
+    # training-mix prep (round 3): deterministic sampling, packing, vocab
+    "sample_documents": (q_sample_documents, _sql_sample_documents()),
+    "stratified_sample_documents": (q_stratified_sample_documents,
+                                    _sql_stratified_sample_documents()),
+    "pack_sequences_documents": (q_pack_sequences_documents,
+                                 _sql_pack_sequences_documents()),
+    "vocab_top_tokens": (q_vocab_top_tokens, _sql_vocab_top_tokens()),
 }

@@ -1,0 +1,121 @@
+"""Deterministic sampling, sequence packing, and vocabulary operators —
+the training-mix prep layer (round 3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from discoverx_spark.operators.packing import (pack_sequences, token_counts,
+                                               top_tokens)
+from discoverx_spark.operators.sampling import (BUCKETS, hash_sample,
+                                                split_train_holdout,
+                                                stratified_hash_sample)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_hash_sample_partitioning_invariant(spark, docs):
+    """The whole point vs df.sample(): identical keep set under any
+    physical layout."""
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3).collect()}
+    b = {r.doc_id for r in
+         hash_sample(docs.repartition(17), "doc_id", 0.3).collect()}
+    c = {r.doc_id for r in
+         hash_sample(docs.coalesce(1), "doc_id", 0.3).collect()}
+    assert a == b == c
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.45 * n  # roughly the asked fraction
+
+
+def test_hash_sample_monotone_fractions(docs):
+    small = {r.doc_id for r in hash_sample(docs, "doc_id", 0.1).collect()}
+    big = {r.doc_id for r in hash_sample(docs, "doc_id", 0.4).collect()}
+    assert small <= big  # nested samples: same hash, larger threshold
+
+
+def test_stratified_fractions_respected(docs):
+    out = stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 1.0, "de": 0.0}, default_fraction=0.5)
+    by_lang = {r.lang: r.n for r in
+               out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r.lang: r.n for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang["en"] == totals["en"]
+    assert "de" not in by_lang
+    for lang, n in by_lang.items():
+        if lang not in ("en",):
+            assert 0 < n < totals[lang]
+
+
+def test_split_train_holdout_disjoint_and_total(docs):
+    train, hold = split_train_holdout(docs, "doc_id", 0.2)
+    t = {r.doc_id for r in train.collect()}
+    h = {r.doc_id for r in hold.collect()}
+    assert not (t & h)
+    assert len(t) + len(h) == docs.count()
+
+
+def test_bad_fraction_raises(docs):
+    with pytest.raises(ValueError):
+        hash_sample(docs, "doc_id", 1.5)
+    with pytest.raises(ValueError):
+        stratified_hash_sample(docs, "doc_id", "lang", {"en": -0.1})
+
+
+def test_pack_sequences_tape_semantics(spark):
+    rows = [(i, "w " * t) for i, t in
+            enumerate([100, 100, 100, 50, 200, 6, 300])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in
+           pack_sequences(df, "doc_id", "text", max_tokens=256).collect()}
+    # offsets are the running sum in id order
+    offs = [out[i].start_offset for i in range(7)]
+    assert offs == [0, 100, 200, 300, 350, 550, 556]
+    assert [out[i].bin_id for i in range(7)] == [0, 0, 0, 1, 1, 2, 2]
+    # bin of a doc is where its FIRST token lands (doc 2 straddles 256)
+    assert out[2].start_offset < 256 <= out[2].start_offset + out[2].n_tokens
+
+
+def test_pack_sequences_partitioned_tapes(spark):
+    rows = [(1, "a", "w " * 300), (2, "a", "w " * 10),
+            (3, "b", "w " * 5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {(r.lang, r.id): r for r in
+           pack_sequences(df, "doc_id", "text", max_tokens=256,
+                          partition_col="lang").collect()}
+    assert out[("a", 2)].start_offset == 300
+    assert out[("b", 3)].start_offset == 0  # independent tape per partition
+
+
+def test_pack_sequences_invariant_to_input_partitioning(spark, docs):
+    a = sorted(tuple(r) for r in
+               pack_sequences(docs, "doc_id", "text", 128,
+                              partition_col="lang").collect())
+    b = sorted(tuple(r) for r in
+               pack_sequences(docs.repartition(13), "doc_id", "text", 128,
+                              partition_col="lang").collect())
+    assert a == b
+
+
+def test_vocab_counts_and_topk(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "B a c")], "doc_id long, text string")
+    counts = {r.token: r["count"] for r in token_counts(df, "text").collect()}
+    assert counts == {"a": 3, "b": 2, "c": 1}
+    top = [(r.token, r["count"]) for r in top_tokens(df, "text", k=2).collect()]
+    assert top == [("a", 3), ("b", 2)]
+
+
+def test_sampling_pushdown_reaches_scan(spark):
+    """The hash filter is a pure projection predicate: no shuffle in the
+    sampled-scan plan (the 100 TB property — sampling costs one pass)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = hash_sample(docs, "doc_id", 0.25) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
