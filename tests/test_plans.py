@@ -89,6 +89,54 @@ def test_neardup_verification_is_join_free(spark):
     assert plan.count("Exchange hashpartitioning(id") <= 1  # the distinct
 
 
+def test_stratified_sample_zero_shuffle(spark):
+    """The stratified threshold is a when-chain literal, never a join:
+    sampling must cost one scan pass with the filter on it."""
+    from discoverx_spark.operators.sampling import stratified_hash_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = stratified_hash_sample(docs, "doc_id", "lang",
+                                  {"en": 0.2, "de": 1.0}) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "Filter" in plan
+
+
+def test_vocab_counts_partial_agg(spark):
+    """Token counting must combine map-side: partial + final aggregate,
+    one exchange on the token key."""
+    from discoverx_spark.operators.packing import token_counts
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = token_counts(docs, "text") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
+
+
+def test_top_tokens_is_take_ordered(spark):
+    """Top-k must be a TakeOrderedAndProject, never a global sort."""
+    from discoverx_spark.operators.packing import top_tokens
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = top_tokens(docs, "text", k=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pack_sequences_single_window_exchange(spark):
+    """Partitioned packing: one exchange on the tape key feeding the
+    running-sum window — no extra shuffles."""
+    from discoverx_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = pack_sequences(docs, "doc_id", "text", 256,
+                          partition_col="lang") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+
+
 def test_ivf_assign_broadcasts_centroids(spark):
     from discoverx_spark.operators.similarity import ivf_assign
 
