@@ -130,28 +130,29 @@ def prepare_transcripts(path: str) -> int:
     return n
 
 
-def _pipeline_run_child(cpus: int, path: str) -> None:
+def _pipeline_run_child(cpus: int, path: str, memo: int = 0) -> None:
     """Child-process body: pinned + warmed, min of two timed decide()
     runs — the second run measures the fully-JITed steady state, and the
     min bounds the damage of a transient host burst landing inside one
     run (this sandbox shows 2-4x transient degradation)."""
-    from discoverx_spark.pipeline import decide
+    from discoverx_spark.pipeline import PipelineConfig, decide
 
     spark = make_session(cpus, f"bench-pipeline-{cpus}")
     spark.sparkContext.setLogLevel("ERROR")
     warm_python_workers(spark, cpus)  # steady-state measurement
     turns = spark.read.parquet(path)
+    cfg = PipelineConfig(memo_size=memo)
     best = None
     for _ in range(2):
         t0 = time.perf_counter()
-        force(decide(turns))
+        force(decide(turns, cfg))
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     spark.stop()
     print(f"PIPELINE_SECONDS={best:.4f}")
 
 
-def run_pipeline_at(cpus: int, path: str) -> float:
+def run_pipeline_at(cpus: int, path: str, memo: int = 0) -> float:
     """Wall-clock of the full decide() job at a given parallelism, in a
     fresh process pinned to exactly ``cpus`` CPUs (taskset).  Without
     pinning, a local[8] session's JVM/Python helper threads spill onto the
@@ -160,7 +161,7 @@ def run_pipeline_at(cpus: int, path: str) -> float:
     import subprocess
 
     cmd = [sys.executable, os.path.abspath(__file__), "--pipeline-run",
-           str(cpus), path]
+           str(cpus), path, str(memo)]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True,
@@ -189,6 +190,12 @@ def write_baseline_md(result: dict) -> None:
         f"**{tr['low_turns_per_sec']:,.0f} turns/sec**",
         f"- local[{tr['high_cpus']}]: {tr['high_sec']} s → "
         f"**{tr['high_turns_per_sec']:,.0f} turns/sec**",
+        f"- local[{tr['high_cpus']}] with the bounded per-worker result "
+        f"cache on (PipelineConfig.memo_size=65536): "
+        f"**{tr.get('high_turns_per_sec_memoized', 0):,.0f} turns/sec** — "
+        f"reported separately, NOT the headline: the generated input is "
+        f"~11%-distinct, so the cache win is an input property (real "
+        f"deduped corpora see far less)",
         f"- scaling efficiency (best time-paired rep, "
         f"N→{tr['high_cpus']//tr['low_cpus']}N): "
         f"**{tr['efficiency']:.3f}** (target ≥ 0.8; median rep "
@@ -320,6 +327,12 @@ def main() -> None:
             break  # stay inside the driver's time budget on a slow host
         time.sleep(20)
     t_low, t_high = min(lows), min(highs)
+    # one extra measurement with the bounded per-worker result cache ON
+    # (PipelineConfig.memo_size): reported SEPARATELY because the win is
+    # the corpus's exact-duplicate fraction, not compute — the generated
+    # bench input is ~11%-distinct, far more repetitive than real deduped
+    # text, so this number is an upper bound, never the headline
+    t_high_memo = run_pipeline_at(high_cpus, tpath, memo=1 << 16)
 
     timings = run_headline()
     tp_low, tp_high = n_turns / t_low, n_turns / t_high
@@ -357,6 +370,7 @@ def main() -> None:
             "low_sec": round(t_low, 3), "high_sec": round(t_high, 3),
             "low_turns_per_sec": round(tp_low, 1),
             "high_turns_per_sec": round(tp_high, 1),
+            "high_turns_per_sec_memoized": round(n_turns / t_high_memo, 1),
             "efficiency": round(eff, 4),
             "efficiency_median": round(eff_median, 4),
             "efficiency_minpaired": round(eff_minpaired, 4),
@@ -370,6 +384,7 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--pipeline-run":
-        _pipeline_run_child(int(sys.argv[2]), sys.argv[3])
+        _pipeline_run_child(int(sys.argv[2]), sys.argv[3],
+                            int(sys.argv[4]) if len(sys.argv) > 4 else 0)
     else:
         main()

@@ -136,3 +136,15 @@ def test_pipeline_deterministic_across_runs(spark):
         assert a["scrubbed_text"] == b["scrubbed_text"]
         assert a["keep"] == b["keep"]
         assert a["drop_reasons"] == b["drop_reasons"]
+
+
+def test_memoized_decide_byte_identical(spark):
+    """PipelineConfig.memo_size caches pure-function results per worker —
+    output must be byte-identical to the unmemoized path on an input with
+    heavy exact repetition."""
+    turns = generate_transcripts(spark, 80, seed=7)
+    plain = sorted(map(tuple, decide(turns, PipelineConfig()).collect()))
+    memo = sorted(map(tuple,
+                      decide(turns, PipelineConfig(memo_size=1 << 14))
+                      .collect()))
+    assert plain == memo
