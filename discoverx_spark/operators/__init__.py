@@ -9,7 +9,7 @@ from .dedup import (tokens_expr, shingles_expr, exact_duplicates, dedup_exact,
                     jaccard_pairs, simhash_expr, simhash_near_duplicates,
                     connected_components, dedup_clusters)
 from .packing import pack_sequences, token_counts, top_tokens
-from .sampling import (hash_sample, split_train_holdout,
+from .sampling import (cap_per_group, hash_sample, split_train_holdout,
                        stratified_hash_sample)
 from .similarity import (dot_expr, norm_expr, cosine_expr, brute_force_topk,
                          embedding_near_duplicates, lsh_topk, ivf_train, ivf_assign,
@@ -31,4 +31,5 @@ __all__ = [
     "lsh_signature_expr",
     "pack_sequences", "token_counts", "top_tokens",
     "hash_sample", "stratified_hash_sample", "split_train_holdout",
+    "cap_per_group",
 ]

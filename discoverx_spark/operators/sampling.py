@@ -69,6 +69,27 @@ def stratified_hash_sample(df: DataFrame, key_col: str, strata_col: str,
     return df.filter(_bucket_expr(key_col, hash_mode) < thr)
 
 
+def cap_per_group(df: DataFrame, group_col: str, order_col: str, n: int,
+                  tiebreak_col: Optional[str] = None,
+                  descending: bool = True) -> DataFrame:
+    """Keep at most ``n`` rows per group, best-first — the per-domain /
+    per-source quota cap of C4/RefinedWeb-style training mixes ("no single
+    host dominates the corpus").  Deterministic: ordering is
+    (order_col [desc], tiebreak_col asc), so ties never depend on
+    partitioning.  One exchange on the group key; AQE's skew handling
+    covers hot groups (a mega-domain is exactly the skewed-key case)."""
+    from pyspark.sql.window import Window
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+    order = [F.desc(order_col) if descending else F.asc(order_col)]
+    if tiebreak_col is not None:
+        order.append(F.asc(tiebreak_col))
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n).drop("_rn"))
+
+
 def split_train_holdout(df: DataFrame, key_col: str, holdout_fraction: float,
                         hash_mode: str = "xxhash64") -> tuple:
     """(train, holdout) disjoint deterministic split on the same hash —

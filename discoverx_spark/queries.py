@@ -903,6 +903,24 @@ FROM cum
 """
 
 
+def q_domain_capped_documents(spark, sf_dir):
+    """Per-source quota cap (C4/RefinedWeb-style 'no host dominates'):
+    keep the 5 longest documents per source, deterministic ties."""
+    from .operators.sampling import cap_per_group
+    docs = _t(spark, sf_dir, "documents").repartition(32)
+    return cap_per_group(docs, "source", "n_chars", 5,
+                         tiebreak_col="doc_id")
+
+
+SQL_DOMAIN_CAPPED = """
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents)
+WHERE rn <= 5
+"""
+
+
 def q_vocab_top_tokens(spark, sf_dir):
     """Corpus vocabulary top-50 (map-side-combined token counts, total
     order for determinism)."""
@@ -1951,4 +1969,6 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "pack_sequences_documents": (q_pack_sequences_documents,
                                  _sql_pack_sequences_documents()),
     "vocab_top_tokens": (q_vocab_top_tokens, _sql_vocab_top_tokens()),
+    "domain_capped_documents": (q_domain_capped_documents,
+                                SQL_DOMAIN_CAPPED),
 }

@@ -68,6 +68,30 @@ def test_bad_fraction_raises(docs):
         stratified_hash_sample(docs, "doc_id", "lang", {"en": -0.1})
 
 
+def test_cap_per_group_quota_and_ties(spark):
+    from discoverx_spark.operators.sampling import cap_per_group
+    rows = [(i, "g1" if i < 6 else "g2", 100 - (i % 3)) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, score long")
+    out = cap_per_group(df, "src", "score", 2, tiebreak_col="doc_id")
+    got = sorted((r.src, r.doc_id) for r in out.collect())
+    # g1: scores [100,99,98,100,99,98] for ids 0..5 -> top2 = ids 0,3 (ties
+    # broken by id asc); g2: ids 6..8 scores [100,99,98] -> ids 6,7
+    assert got == [("g1", 0), ("g1", 3), ("g2", 6), ("g2", 7)]
+    with pytest.raises(ValueError):
+        cap_per_group(df, "src", "score", 0)
+
+
+def test_cap_per_group_partitioning_invariant(spark, docs):
+    from discoverx_spark.operators.sampling import cap_per_group
+    a = sorted(r.doc_id for r in
+               cap_per_group(docs, "source", "n_chars", 3,
+                             tiebreak_col="doc_id").collect())
+    b = sorted(r.doc_id for r in
+               cap_per_group(docs.repartition(23), "source", "n_chars", 3,
+                             tiebreak_col="doc_id").collect())
+    assert a == b
+
+
 def test_pack_sequences_tape_semantics(spark):
     rows = [(i, "w " * t) for i, t in
             enumerate([100, 100, 100, 50, 200, 6, 300])]
