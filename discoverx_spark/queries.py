@@ -940,6 +940,59 @@ LIMIT 50
 """
 
 
+def q_curation_pipeline_documents(spark, sf_dir):
+    """End-to-end corpus curation, every stage the production operator:
+    quality gates → exact dedup (min-id per fingerprint) → deterministic
+    50% hash sample → per-language sequence packing.  The single SQL
+    oracle checks the whole composition, not just the stages."""
+    from .operators.dedup import dedup_exact
+    from .operators.packing import pack_sequences
+    from .operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents").repartition(32)
+    n_tokens = token_count_expr("text").cast("long")
+    n_alpha = F.size(
+        F.regexp_extract_all("text", F.lit("([A-Za-z])"), 1)).cast("long")
+    alpha_ratio = (n_alpha.cast("double")
+                   / F.greatest(F.length("text").cast("long"),
+                                F.lit(1)).cast("double"))
+    kept = docs.filter((n_tokens >= 5) & (n_tokens <= 1000)
+                       & (alpha_ratio >= 0.5))
+    deduped = dedup_exact(kept, "text", "doc_id")
+    sampled = hash_sample(deduped, "doc_id", 0.5, hash_mode="md5")
+    return pack_sequences(sampled, "doc_id", "text", max_tokens=512,
+                          partition_col="lang")
+
+
+def _sql_curation_pipeline() -> str:
+    thr = int(round(0.5 * _SAMPLE_BUCKETS))
+    return rf"""
+WITH kept AS (
+  SELECT doc_id, lang, text,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         CAST(len(regexp_extract_all(text, '(\S+)', 1)) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE len(regexp_extract_all(text, '(\S+)', 1)) BETWEEN 5 AND 1000
+    AND CAST(len(regexp_extract_all(text, '([A-Za-z])', 1)) AS BIGINT)::DOUBLE
+        / greatest(CAST(length(text) AS BIGINT), 1)::DOUBLE >= 0.5),
+dedup AS (
+  SELECT k.* FROM kept k
+  JOIN (SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp) d
+    ON k.fp = d.fp AND k.doc_id = d.doc_id),
+sampled AS (
+  SELECT * FROM dedup WHERE {_sql_bucket('doc_id')} < {thr}),
+cum AS (
+  SELECT lang, doc_id AS id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS start_offset
+  FROM sampled)
+SELECT lang, id, n_tokens, start_offset,
+       CAST(floor(start_offset / 512.0) AS BIGINT) AS bin_id
+FROM cum
+"""
+
+
 def q_minhash_neardup_xxhash_sf(spark, sf_dir):
     """Bench-only sf-scale twin of `minhash_neardup_xxhash`: the production
     hash family over the real documents table ∪ clones with default
@@ -1971,4 +2024,6 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "vocab_top_tokens": (q_vocab_top_tokens, _sql_vocab_top_tokens()),
     "domain_capped_documents": (q_domain_capped_documents,
                                 SQL_DOMAIN_CAPPED),
+    "curation_pipeline_documents": (q_curation_pipeline_documents,
+                                    _sql_curation_pipeline()),
 }
