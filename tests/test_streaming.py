@@ -119,3 +119,28 @@ def test_minhash_signatures_stream_matches_batch(spark, input_dir, tmp_path):
     want = {tuple(r) for r in
             minhash_signatures(batch, "text", "conv_id", k=8).collect()}
     assert got == want
+
+
+def test_hash_sample_on_stream_matches_batch(spark, input_dir, tmp_path):
+    """Deterministic sampling is a stateless projection filter, so it is
+    stream-safe and its keep set equals the batch keep set — the property
+    that makes a sampled ingest resumable (df.sample would give each
+    micro-batch its own draw)."""
+    from discoverx_spark.operators.sampling import stratified_hash_sample
+
+    stream = read_transcripts_stream(spark, input_dir)
+    out_dir = str(tmp_path / "sample_out")
+    q = (stratified_hash_sample(stream, "conv_id", "role",
+                                {"user": 1.0, "assistant": 0.3})
+         .writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "sample_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["conv_id"], r["turn_idx"])
+           for r in spark.read.parquet(out_dir).collect()}
+    want = {(r["conv_id"], r["turn_idx"]) for r in
+            stratified_hash_sample(spark.read.parquet(input_dir),
+                                   "conv_id", "role",
+                                   {"user": 1.0, "assistant": 0.3}).collect()}
+    assert got == want and len(got) > 0
