@@ -152,13 +152,14 @@ def conversation_near_duplicates(turns: DataFrame, k: int = 16,
     exploded = (packed.select("id", "sig",
                               F.explode(F.array(*band_cols)).alias("band"))
                 .select("id", "sig", "band.band_idx", "band.band_hash"))
-    pairs = _bucket_pairs(exploded, key_cols=["band_idx", "band_hash"],
-                          extra_cols=["sig"], max_bucket=max_bucket)
     agree = sum((F.col("sig_a")[f"m{i}"] == F.col("sig_b")[f"m{i}"]).cast("int")
                 for i in range(k))
-    return (pairs.select("id_a", "id_b",
-                         (agree / F.lit(k)).alias("est_jaccard"))
-            .filter(F.col("est_jaccard") >= threshold))
+    est = (agree / F.lit(k)).alias("est_jaccard")
+    return _bucket_pairs(
+        exploded, key_cols=["band_idx", "band_hash"], extra_cols=["sig"],
+        max_bucket=max_bucket,
+        project=lambda df: (df.select("id_a", "id_b", est)
+                            .filter(F.col("est_jaccard") >= threshold)))
 
 
 def dedup_conversations(turns: DataFrame) -> DataFrame:

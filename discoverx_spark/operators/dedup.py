@@ -187,7 +187,8 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 def _bucket_pairs(exploded: DataFrame, key_cols: Sequence[str],
                   extra_cols: Sequence[str] = (),
                   max_bucket: Optional[int] = None,
-                  mark_star: bool = False) -> DataFrame:
+                  mark_star: bool = False,
+                  project=None) -> DataFrame:
     """Self-join rows sharing a bucket key into candidate pairs
     (id_a < id_b, distinct); ``extra_cols`` are carried through as
     ``<col>_a`` / ``<col>_b``.
@@ -206,16 +207,25 @@ def _bucket_pairs(exploded: DataFrame, key_cols: Sequence[str],
 
     ``mark_star=True`` adds an ``is_star`` boolean column (True on
     capped-bucket representative pairs); a pair reachable both ways keeps
-    ``is_star=False`` (the ordinary, verifiable path wins)."""
+    ``is_star=False`` (the ordinary, verifiable path wins).
+
+    ``project`` (optional, ``DataFrame -> DataFrame``) is applied to the
+    raw pair rows BEFORE the distinct/dedup shuffle.  It must be a
+    deterministic per-pair transformation (compute the verification score
+    from the carried columns, drop the wide payload, optionally filter) —
+    then the dedup shuffle carries a few scalars per pair instead of the
+    full carried structs/vectors (for 16-hash signatures: ~10× less
+    shuffle; for embedding vectors: ~50×)."""
     sel = [F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")]
     for c in extra_cols:
         sel += [F.col(f"a.{c}").alias(f"{c}_a"), F.col(f"b.{c}").alias(f"{c}_b")]
     keys = list(key_cols)
+    proj = project if project is not None else (lambda df: df)
     if max_bucket is None:
         a, b = exploded.alias("a"), exploded.alias("b")
-        out = (a.join(b, on=keys)
-               .filter(F.col("a.id") < F.col("b.id"))
-               .select(*sel).distinct())
+        out = proj(a.join(b, on=keys)
+                   .filter(F.col("a.id") < F.col("b.id"))
+                   .select(*sel)).distinct()
         return out.withColumn("is_star", F.lit(False)) if mark_star else out
 
     # bucket size + representative via WINDOW functions over the banding
@@ -244,14 +254,15 @@ def _bucket_pairs(exploded: DataFrame, key_cols: Sequence[str],
                                & (F.col("id") != F.col("_rep.id")))
                  .select(*star_sel))
     if not mark_star:
-        return small_pairs.unionByName(big_pairs).distinct()
+        return proj(small_pairs.unionByName(big_pairs)).distinct()
     # distinct with a min(is_star) fold: a pair seen via both an ordinary
-    # bucket and a capped one stays is_star=False (same shuffle as distinct)
-    pair_cols = [c for c in ("id_a", "id_b",
-                             *[f"{c}_{s}" for c in extra_cols for s in "ab"])]
-    both = (small_pairs.withColumn("is_star", F.lit(False))
-            .unionByName(big_pairs.withColumn("is_star", F.lit(True))))
-    return (both.groupBy(*pair_cols)
+    # bucket and a capped one stays is_star=False (same shuffle as
+    # distinct); the projection runs per side, then the flag is attached
+    star_tagged = (proj(small_pairs).withColumn("is_star", F.lit(False))
+                   .unionByName(
+                       proj(big_pairs).withColumn("is_star", F.lit(True))))
+    pair_cols = [c for c in star_tagged.columns if c != "is_star"]
+    return (star_tagged.groupBy(*pair_cols)
             .agg(F.min("is_star").alias("is_star")))
 
 
@@ -322,21 +333,24 @@ def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
     exploded = (base.select("id", "sig",
                             F.explode(F.array(*band_cols)).alias("band"))
                 .select("id", "sig", "band.band_idx", "band.band_hash"))
-    pairs = _bucket_pairs(exploded, key_cols=["band_idx", "band_hash"],
-                          extra_cols=["sig"], max_bucket=max_bucket,
-                          mark_star=keep_capped_star)
     agree = sum((F.col("sig_a")[f"m{i}"] == F.col("sig_b")[f"m{i}"]).cast("int")
                 for i in range(k))
-    keep = F.col("est_jaccard") >= threshold
+    est = (agree / F.lit(k)).alias("est_jaccard")
+    # the projection collapses each pair row to (ids, est) BEFORE the
+    # dedup shuffle — 3 scalars instead of two 16-long signature structs
     if keep_capped_star:
-        keep = keep | F.col("is_star")
-        return (pairs.select("id_a", "id_b",
-                             (agree / F.lit(k)).alias("est_jaccard"),
-                             "is_star")
-                .filter(keep).drop("is_star"))
-    return (pairs.select("id_a", "id_b",
-                         (agree / F.lit(k)).alias("est_jaccard"))
-            .filter(keep))
+        pairs = _bucket_pairs(
+            exploded, key_cols=["band_idx", "band_hash"],
+            extra_cols=["sig"], max_bucket=max_bucket, mark_star=True,
+            project=lambda df: df.select("id_a", "id_b", est))
+        return (pairs.filter((F.col("est_jaccard") >= threshold)
+                             | F.col("is_star"))
+                .drop("is_star"))
+    return _bucket_pairs(
+        exploded, key_cols=["band_idx", "band_hash"],
+        extra_cols=["sig"], max_bucket=max_bucket,
+        project=lambda df: (df.select("id_a", "id_b", est)
+                            .filter(F.col("est_jaccard") >= threshold)))
 
 
 # --------------------------------------------------------------------------
@@ -541,9 +555,10 @@ def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
         block_keys.append(F.concat(F.lit(f"{i}:"), field.cast("string")))
     blocks = sims.select(
         "id", "simhash", F.explode(F.array(*block_keys)).alias("block"))
-    pairs = _bucket_pairs(blocks, key_cols=["block"],
-                          extra_cols=["simhash"], max_bucket=max_bucket)
-    hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
-    return (pairs.withColumn("hamming", hamming)
-            .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+    hamming = F.bit_count(
+        F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))).alias("hamming")
+    return _bucket_pairs(
+        blocks, key_cols=["block"], extra_cols=["simhash"],
+        max_bucket=max_bucket,
+        project=lambda df: (df.select("id_a", "id_b", hamming)
+                            .filter(F.col("hamming") <= max_hamming)))

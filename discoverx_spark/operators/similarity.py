@@ -191,12 +191,13 @@ def lsh_near_duplicates(df: DataFrame, threshold: float = 0.95,
     planes = _hyperplanes(dim, n_planes, seed)
     sig = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                     lsh_signature_expr(F.col(vec_col), planes).alias("bucket"))
-    pairs = _bucket_pairs(sig, key_cols=["bucket"], extra_cols=["v"],
-                          max_bucket=max_bucket)
-    return (pairs.select("id_a", "id_b",
-                         F.round(cosine_expr(F.col("v_a"), F.col("v_b")), 6)
-                         .alias("cosine"))
-            .filter(F.col("cosine") >= threshold))
+    cos = F.round(cosine_expr(F.col("v_a"), F.col("v_b")), 6).alias("cosine")
+    # project the cosine BEFORE the pair-dedup shuffle: 3 scalars per pair
+    # instead of two full embedding vectors (~50× less shuffled data)
+    return _bucket_pairs(
+        sig, key_cols=["bucket"], extra_cols=["v"], max_bucket=max_bucket,
+        project=lambda df: (df.select("id_a", "id_b", cos)
+                            .filter(F.col("cosine") >= threshold)))
 
 
 def ivf_train(corpus: DataFrame, n_centroids: int = 16, n_iter: int = 5,
