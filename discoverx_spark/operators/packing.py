@@ -31,9 +31,22 @@ def pack_sequences(df: DataFrame, id_col: str, text_col: str,
                    max_tokens: int,
                    partition_col: Optional[str] = None) -> DataFrame:
     """(id, n_tokens, start_offset, bin_id[, partition]) — concat-then-chunk
-    window assignment under a deterministic (partition, id) total order."""
+    window assignment under a deterministic (partition, id) total order.
+
+    ``partition_col=None`` means ONE global tape: Spark executes an
+    unpartitioned running-sum window on a single task, so it only fits
+    inputs that fit one executor — a ``RuntimeWarning`` flags it.  At
+    scale always pass a tape key (shard, language, date bucket)."""
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
+    if partition_col is None:
+        import warnings
+
+        warnings.warn(
+            "pack_sequences(partition_col=None) builds ONE global tape — "
+            "the running-sum window executes on a single task; pass a "
+            "partition_col (shard/language) for inputs beyond one executor",
+            RuntimeWarning, stacklevel=2)
     w = (Window.partitionBy(partition_col) if partition_col
          else Window.partitionBy()).orderBy("id") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

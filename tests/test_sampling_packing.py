@@ -96,8 +96,10 @@ def test_pack_sequences_tape_semantics(spark):
     rows = [(i, "w " * t) for i, t in
             enumerate([100, 100, 100, 50, 200, 6, 300])]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = {r.id: r for r in
-           pack_sequences(df, "doc_id", "text", max_tokens=256).collect()}
+    # the global (unpartitioned) tape is a single-task window — warned
+    with pytest.warns(RuntimeWarning, match="ONE global tape"):
+        packed = pack_sequences(df, "doc_id", "text", max_tokens=256)
+    out = {r.id: r for r in packed.collect()}
     # offsets are the running sum in id order
     offs = [out[i].start_offset for i in range(7)]
     assert offs == [0, 100, 200, 300, 350, 550, 556]
