@@ -101,11 +101,14 @@ def perplexity_of(text: Optional[str]) -> float:
     return float(np.exp(-logp.sum() / logp.size))
 
 
-def make_perplexity_udf():
-    """Arrow-batched perplexity UDF: ``text -> double``."""
+def make_perplexity_udf(lm: Optional[np.ndarray] = None):
+    """Arrow-batched perplexity UDF: ``text -> double``.  ``lm`` defaults
+    to the embedded CHAR_LM; pass a corpus-trained matrix from
+    :func:`train_char_lm` to score against the corpus's own statistics."""
+    lm_matrix = CHAR_LM if lm is None else lm
 
     def batches(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        lm = CHAR_LM  # resolved once per worker
+        m = lm_matrix  # resolved once per worker
         for s in it:
             out = np.full(len(s), float(V), dtype=np.float64)
             for i, t in enumerate(s.tolist()):
@@ -113,8 +116,58 @@ def make_perplexity_udf():
                     continue
                 ids = _ids(t)
                 if ids.size >= 2:
-                    logp = lm[ids[:-1], ids[1:]]
+                    logp = m[ids[:-1], ids[1:]]
                     out[i] = np.exp(-logp.sum() / logp.size)
             yield pd.Series(out)
 
     return F.pandas_udf(batches, returnType=T.DoubleType())
+
+
+# --------------------------------------------------------------------------
+# Distributed LM training (the KenLM-'train on your corpus' role)
+# --------------------------------------------------------------------------
+
+def canon_expr(col) -> "F.Column":
+    """JVM rendering of :func:`_ids`'s canonicalization: lowercase, ASCII
+    with non-ASCII → '?', letters kept, every non-letter run → one space,
+    trimmed.  Identical bytes to the Python path (asserted in tests)."""
+    c = F.col(col) if isinstance(col, str) else col
+    # lower → non-ascii to '?' (regexp on codepoints) → non-letters to
+    # space → collapse runs → trim
+    lowered = F.lower(c)
+    ascii_only = F.regexp_replace(lowered, r"[^\x00-\x7F]", "?")
+    letters = F.regexp_replace(ascii_only, r"[^a-z]+", " ")
+    return F.trim(letters)
+
+
+def char_bigram_counts(df, text_col: str):
+    """(bigram string, count) over the canonicalized 27-symbol alphabet —
+    the distributed statistics pass of LM training.  One explode +
+    map-side-combined groupBy: the shuffle carries at most 27²=729 rows
+    per task regardless of corpus size (vocabulary-shaped aggregation)."""
+    canon = canon_expr(text_col)
+    # adjacent character pairs via substring zip (pure projection)
+    chars = F.split(canon, "")
+    n = F.size(chars)
+    bigrams = F.zip_with(
+        F.slice(chars, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(chars, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, b))
+    return (df.select(F.explode(bigrams).alias("bigram"))
+            .filter(F.length("bigram") == 2)
+            .groupBy("bigram").agg(F.count("*").alias("count")))
+
+
+def train_char_lm(df, text_col: str, k: float = 0.5) -> np.ndarray:
+    """Train the 27×27 add-k char-bigram LM on a corpus DISTRIBUTED: the
+    only driver-side data is the ≤729-row count table.  Same smoothing and
+    normalization as the embedded :data:`CHAR_LM` (training the embedded
+    corpus reproduces it bit-for-bit — tested), so a trained matrix drops
+    into :func:`make_perplexity_udf` unchanged."""
+    counts = np.full((V, V), k, dtype=np.float64)
+    for row in char_bigram_counts(df, text_col).collect():
+        a, b = row["bigram"][0], row["bigram"][1]
+        ia = _SP if a == " " else ord(a) - ord("a")
+        ib = _SP if b == " " else ord(b) - ord("a")
+        counts[ia, ib] += row["count"]
+    return np.log(counts / counts.sum(axis=1, keepdims=True))

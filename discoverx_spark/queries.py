@@ -940,6 +940,29 @@ LIMIT 50
 """
 
 
+def q_char_bigram_counts(spark, sf_dir):
+    """Distributed LM-training statistics (the KenLM 'train on your
+    corpus' role): char-bigram counts over the canonical 27-symbol
+    alphabet — vocabulary-shaped aggregation, ≤729 shuffled rows per task
+    however big the corpus."""
+    from .functions.perplexity import char_bigram_counts
+    docs = _t(spark, sf_dir, "documents").repartition(32)
+    return char_bigram_counts(docs, "text")
+
+
+SQL_CHAR_BIGRAMS = r"""
+WITH canon AS (
+  SELECT trim(regexp_replace(regexp_replace(lower(text),
+              '[^\x00-\x7F]', '?', 'g'), '[^a-z]+', ' ', 'g')) AS s
+  FROM documents),
+bg AS (
+  SELECT unnest(list_transform(range(1, length(s)),
+                               i -> substring(s, i, 2))) AS bigram
+  FROM canon WHERE length(s) >= 2)
+SELECT bigram, CAST(count(*) AS BIGINT) AS count FROM bg GROUP BY bigram
+"""
+
+
 def q_curation_pipeline_documents(spark, sf_dir):
     """End-to-end corpus curation, every stage the production operator:
     quality gates → exact dedup (min-id per fingerprint) → deterministic
@@ -2026,4 +2049,5 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
                                 SQL_DOMAIN_CAPPED),
     "curation_pipeline_documents": (q_curation_pipeline_documents,
                                     _sql_curation_pipeline()),
+    "char_bigram_counts": (q_char_bigram_counts, SQL_CHAR_BIGRAMS),
 }

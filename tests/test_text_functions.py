@@ -91,3 +91,51 @@ def test_toxicity(spark):
     assert got == [2, 0, 1]
     custom_hits, _ = toxicity_exprs("t", ["nice"])
     assert [r["h"] for r in df.select(custom_hits.alias("h")).collect()] == [0, 1, 0]
+
+
+def test_train_char_lm_reproduces_embedded(spark):
+    """Distributed training over the embedded corpus must reproduce the
+    import-time CHAR_LM bit-for-bit (same counts, same smoothing path) —
+    proving the trained matrix drops into the scorer unchanged."""
+    import numpy as np
+    from discoverx_spark.functions.perplexity import (CHAR_LM, _TRAIN,
+                                                      train_char_lm)
+    df = spark.createDataFrame([(_TRAIN,)], "text string")
+    trained = train_char_lm(df, "text")
+    assert np.array_equal(trained, CHAR_LM)
+
+
+def test_canon_expr_matches_python_ids(spark):
+    """The JVM canonicalization must produce the identical 27-symbol
+    string the Python _ids path scores (incl. non-ascii -> '?' -> space
+    and run collapsing)."""
+    from discoverx_spark.functions.perplexity import _BYTE_CANON, canon_expr
+    texts = ["Hello,  WORLD!  123", "ä ö mixed ASCII", "中文 then latin",
+             "", "   ", "a", "tabs\tand\nnewlines here", "ß sharp"]
+
+    def py_canon(t):
+        raw = t.lower().encode("ascii", "replace")
+        return b" ".join(raw.translate(_BYTE_CANON).split()).decode()
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {r.text: r.c for r in
+           df.select("text", canon_expr("text").alias("c")).collect()}
+    for t in texts:
+        assert got[t] == py_canon(t), repr(t)
+
+
+def test_perplexity_udf_accepts_trained_lm(spark):
+    import numpy as np
+    from discoverx_spark.functions.perplexity import (_TRAIN,
+                                                      make_perplexity_udf,
+                                                      train_char_lm)
+    from pyspark.sql import functions as F
+    lm = train_char_lm(spark.createDataFrame([(_TRAIN,)], "text string"),
+                       "text")
+    df = spark.createDataFrame(
+        [("the quick brown fox",), ("zzz qqq xxx",)], "text string")
+    a = [r.p for r in df.select(
+        make_perplexity_udf()(F.col("text")).alias("p")).collect()]
+    b = [r.p for r in df.select(
+        make_perplexity_udf(lm)(F.col("text")).alias("p")).collect()]
+    assert a == b  # trained-on-embedded == embedded, end to end
