@@ -940,6 +940,55 @@ LIMIT 50
 """
 
 
+def q_csv_roundtrip_source(spark, sf_dir):
+    """CSV source with explicit schema (reference conftest.py:129-137
+    pattern): nation is re-written as CSV and read back — the oracle reads
+    the ORIGINAL parquet, so the check is cross-format read equality
+    (schema fidelity, header handling, quoting)."""
+    from .sources.io import read_csv
+
+    nation = _t(spark, sf_dir, "nation")
+    path = os.path.join(_HK_SCRATCH, "nation_csv")
+    nation.coalesce(1).write.mode("overwrite") \
+        .option("header", "true").csv(path)
+    return read_csv(
+        spark, path,
+        "n_nationkey int, n_name string, n_regionkey int")
+
+
+SQL_CSV_ROUNDTRIP = "SELECT * FROM nation"
+
+
+def q_explorer_stack_strings(spark, sf_dir):
+    """Multi-table SQL-template fan-out (reference explorer.py:99-125 +
+    the {stack_string_columns} helper, explorer.py:243-273): one template
+    applied over two registered tables, provenance columns attached, the
+    unit results union-folded."""
+    from .explorer import DataExplorer
+    from .scanner import TableRegistry
+
+    reg = TableRegistry()
+    reg.register("main.testdata.nation", _t(spark, sf_dir, "nation"))
+    reg.register("main.testdata.region", _t(spark, sf_dir, "region"))
+    exp = DataExplorer(registry=reg, spark=spark,
+                       from_tables="main.testdata.*").with_sql(
+        "SELECT {stack_string_columns} AS (column_name, string_value) "
+        "FROM {full_table_name}")
+    return exp.apply()
+
+
+SQL_EXPLORER_STACK = """
+SELECT column_name, string_value,
+       'main' AS table_catalog, 'testdata' AS table_schema,
+       table_name
+FROM (
+  SELECT 'n_name' AS column_name, n_name AS string_value,
+         'nation' AS table_name FROM nation
+  UNION ALL
+  SELECT 'r_name', r_name, 'region' FROM region)
+"""
+
+
 def q_char_bigram_counts(spark, sf_dir):
     """Distributed LM-training statistics (the KenLM 'train on your
     corpus' role): char-bigram counts over the canonical 27-symbol
@@ -2050,4 +2099,7 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "curation_pipeline_documents": (q_curation_pipeline_documents,
                                     _sql_curation_pipeline()),
     "char_bigram_counts": (q_char_bigram_counts, SQL_CHAR_BIGRAMS),
+    "csv_roundtrip_source": (q_csv_roundtrip_source, SQL_CSV_ROUNDTRIP),
+    "explorer_stack_strings": (q_explorer_stack_strings,
+                               SQL_EXPLORER_STACK),
 }
