@@ -989,6 +989,61 @@ FROM (
 """
 
 
+def q_merge_upsert_roundtrip(spark, sf_dir):
+    """MERGE-upsert semantics over parquet (reference scanner.py:103-119
+    Delta MERGE analog): matched keys replaced, unmatched preserved, new
+    keys inserted — checked by reading the merged table back."""
+    from .sources.io import merge_upsert
+
+    path = os.path.join(_HK_SCRATCH, "merge_rt")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k int, name string, v int")
+    base.write.mode("overwrite").parquet(path)
+    new = spark.createDataFrame(
+        [(2, "b2", 21), (4, "d", 40)], "k int, name string, v int")
+    merge_upsert(spark, new, path, ["k"])
+    return spark.read.parquet(path)
+
+
+SQL_MERGE_ROUNDTRIP = """
+SELECT CAST(k AS INTEGER) AS k, name, CAST(v AS INTEGER) AS v
+FROM (VALUES (1, 'a', 10), (2, 'b2', 21), (3, 'c', 30), (4, 'd', 40))
+     AS t(k, name, v)
+"""
+
+
+def q_msql_compile_units(spark, sf_dir):
+    """M-SQL compilation itself as a checked output (reference
+    msql.py:46-100): [class] placeholders expand to every classified
+    column, cartesian across classes, wildcard FROM resolution, and a
+    table lacking any referenced class is skipped entirely."""
+    from .msql import Msql
+
+    classified = [
+        ("main", "testdata", "users", "email_addr", "email"),
+        ("main", "testdata", "users", "backup_email", "email"),
+        ("main", "testdata", "users", "ip", "ip_v4"),
+        ("main", "testdata", "logs", "msg_email", "email"),  # no ip_v4
+    ]
+    rows = Msql("SELECT [email], [ip_v4] FROM main.testdata.*") \
+        .build(classified)
+    return spark.createDataFrame(
+        [(r.catalog, r.schema, r.table, r.sql) for r in rows],
+        "table_catalog string, table_schema string, table_name string, "
+        "unit_sql string")
+
+
+SQL_MSQL_COMPILE = """
+SELECT * FROM (VALUES
+  ('main', 'testdata', 'users',
+   'SELECT `backup_email`, `ip` FROM main.testdata.users'),
+  ('main', 'testdata', 'users',
+   'SELECT `email_addr`, `ip` FROM main.testdata.users')
+) AS t(table_catalog, table_schema, table_name, unit_sql)
+"""
+
+
 def q_char_bigram_counts(spark, sf_dir):
     """Distributed LM-training statistics (the KenLM 'train on your
     corpus' role): char-bigram counts over the canonical 27-symbol
@@ -2102,4 +2157,7 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "csv_roundtrip_source": (q_csv_roundtrip_source, SQL_CSV_ROUNDTRIP),
     "explorer_stack_strings": (q_explorer_stack_strings,
                                SQL_EXPLORER_STACK),
+    "merge_upsert_roundtrip": (q_merge_upsert_roundtrip,
+                               SQL_MERGE_ROUNDTRIP),
+    "msql_compile_units": (q_msql_compile_units, SQL_MSQL_COMPILE),
 }
