@@ -989,6 +989,43 @@ FROM (
 """
 
 
+def q_explorer_having_columns(spark, sf_dir):
+    """Column-existence universe restriction (reference explorer.py:67-75):
+    tables having BOTH given columns survive; emitted as rows."""
+    from .explorer import DataExplorer
+    from .scanner import TableRegistry
+
+    reg = TableRegistry()
+    for t in ("nation", "region", "customer"):
+        reg.register(f"main.testdata.{t}", _t(spark, sf_dir, t))
+    names = (DataExplorer(registry=reg, spark=spark,
+                          from_tables="main.testdata.*")
+             .having_columns("n_name", "n_regionkey").table_names())
+    return spark.createDataFrame([(n,) for n in names], "full_name string")
+
+
+SQL_EXPLORER_HAVING = ("SELECT 'main.testdata.nation' AS full_name")
+
+
+def q_scan_classes_documents(spark, sf_dir):
+    """Score-threshold class resolution (reference scanner.py:57-68
+    get_classes): classified (column, class) pairs with score >= 0.95."""
+    docs = _t(spark, sf_dir, "documents")
+    scores = classify_scores(docs, ORACLE_RULES, columns=_DOC_SCAN_COLS,
+                             sample_size=None, table_catalog="main",
+                             table_schema="testdata",
+                             table_name="documents")
+    return (scores.filter(F.col("score").isNotNull()
+                          & (F.col("score") >= 0.95))
+            .select("table_name", "column_name", "class_name"))
+
+
+def _sql_scan_classes_documents() -> str:
+    inner = _sql_scan_documents()
+    return (f"SELECT table_name, column_name, class_name FROM ({inner}) s "
+            f"WHERE score IS NOT NULL AND score >= 0.95")
+
+
 def q_merge_upsert_roundtrip(spark, sf_dir):
     """MERGE-upsert semantics over parquet (reference scanner.py:103-119
     Delta MERGE analog): matched keys replaced, unmatched preserved, new
@@ -2160,4 +2197,8 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "merge_upsert_roundtrip": (q_merge_upsert_roundtrip,
                                SQL_MERGE_ROUNDTRIP),
     "msql_compile_units": (q_msql_compile_units, SQL_MSQL_COMPILE),
+    "explorer_having_columns": (q_explorer_having_columns,
+                                SQL_EXPLORER_HAVING),
+    "scan_classes_documents": (q_scan_classes_documents,
+                               _sql_scan_classes_documents()),
 }
