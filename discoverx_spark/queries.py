@@ -1081,6 +1081,54 @@ SELECT * FROM (VALUES
 """
 
 
+def q_json_roundtrip_source(spark, sf_dir):
+    """JSON source with explicit schema (sources.read_json): region is
+    re-written as JSON lines and read back; the oracle reads the original
+    parquet — cross-format read equality."""
+    from .sources.io import read_json
+
+    region = _t(spark, sf_dir, "region")
+    path = os.path.join(_HK_SCRATCH, "region_json")
+    region.coalesce(1).write.mode("overwrite").json(path)
+    return read_json(spark, path, "r_regionkey int, r_name string")
+
+
+SQL_JSON_ROUNDTRIP = "SELECT * FROM region"
+
+
+def q_scrub_by_class_roundtrip(spark, sf_dir):
+    """Class-driven cell redaction (msql.scrub_by_classes — the M-SQL
+    DELETE variant that rewrites PII cells instead of dropping rows):
+    scan a fixture table, then rewrite every classified column with its
+    class token."""
+    from .msql import scrub_by_classes
+    from .scanner import ScanResult, TableRegistry
+
+    reg = TableRegistry()
+    users = spark.createDataFrame(
+        [(1, "a@b.com", "10.0.0.1", "hello"),
+         (2, "x@y.org", "192.168.1.1", "plain text"),
+         (3, None, "8.8.8.8", "note")],
+        "id int, email string, ip string, note string")
+    reg.register("main.testdata.users", users)
+    scan = ScanResult(classify_scores(
+        users, ORACLE_RULES, columns=["email", "ip", "note"],
+        sample_size=None, table_catalog="main", table_schema="testdata",
+        table_name="users"))
+    out = scrub_by_classes(spark, reg, scan, "main.testdata.users",
+                           min_score=0.95)
+    return out["main.testdata.users"]
+
+
+SQL_SCRUB_BY_CLASS = """
+SELECT CAST(id AS INTEGER) AS id, email, ip, note FROM (VALUES
+  (1, '[REDACTED_EMAIL]', '[REDACTED_IP_V4]', 'hello'),
+  (2, '[REDACTED_EMAIL]', '[REDACTED_IP_V4]', 'plain text'),
+  (3, NULL, '[REDACTED_IP_V4]', 'note')
+) AS t(id, email, ip, note)
+"""
+
+
 def q_char_bigram_counts(spark, sf_dir):
     """Distributed LM-training statistics (the KenLM 'train on your
     corpus' role): char-bigram counts over the canonical 27-symbol
@@ -2201,4 +2249,7 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
                                 SQL_EXPLORER_HAVING),
     "scan_classes_documents": (q_scan_classes_documents,
                                _sql_scan_classes_documents()),
+    "json_roundtrip_source": (q_json_roundtrip_source, SQL_JSON_ROUNDTRIP),
+    "scrub_by_class_roundtrip": (q_scrub_by_class_roundtrip,
+                                 SQL_SCRUB_BY_CLASS),
 }
