@@ -353,6 +353,51 @@ def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
                             .filter(F.col("est_jaccard") >= threshold)))
 
 
+def incremental_lsh_pairs(index_sigs: DataFrame, new_sigs: DataFrame,
+                          bands: int = 4, k: int = 16,
+                          broadcast_new: bool = True) -> DataFrame:
+    """Candidate pairs for an INCREMENTAL dedup batch: every new doc is
+    banded and matched against the existing signature index AND the other
+    new docs — but index×index pairs are never formed (the index is
+    already deduplicated).
+
+    The scale property: the join probes the (small) new batch against each
+    index band row, so the 100 TB index is scanned once and NEVER
+    self-joined — a daily increment costs O(index + new²-per-bucket)
+    instead of re-running dedup over the whole corpus.  With
+    ``broadcast_new`` (the normal case: increments fit in memory) the
+    index side is not even shuffled.
+
+    Inputs are signature frames from :func:`minhash_signatures` (same k /
+    hash family for both).  Returns (id_a, id_b) with id_a < id_b,
+    distinct; within-batch pairs appear once."""
+    def band_frame(sigs: DataFrame, is_new: bool) -> DataFrame:
+        rows_per_band = k // bands
+        band_cols = []
+        for b in range(bands):
+            parts = [F.col(f"mh_{b * rows_per_band + j}")
+                     for j in range(rows_per_band)]
+            band_cols.append(F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws(",", *[p.cast("string") for p in parts]))
+                .alias("band_hash")))
+        return (sigs.select("id",
+                            F.explode(F.array(*band_cols)).alias("band"))
+                .select("id", "band.band_idx", "band.band_hash"))
+
+    all_bands = band_frame(index_sigs, False).unionByName(
+        band_frame(new_sigs, True))
+    probe = band_frame(new_sigs, True) \
+        .withColumnRenamed("id", "new_id")
+    if broadcast_new:
+        probe = F.broadcast(probe)
+    joined = (all_bands.join(probe, on=["band_idx", "band_hash"])
+              .filter(F.col("id") != F.col("new_id")))
+    return (joined.select(F.least("id", "new_id").alias("id_a"),
+                          F.greatest("id", "new_id").alias("id_b"))
+            .distinct())
+
+
 # --------------------------------------------------------------------------
 # Exact n-gram Jaccard (verification / small-set dedup)
 # --------------------------------------------------------------------------

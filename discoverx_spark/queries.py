@@ -1081,6 +1081,45 @@ SELECT * FROM (VALUES
 """
 
 
+def q_incremental_lsh_pairs(spark, sf_dir):
+    """Incremental near-dup candidates: a 50-doc 'new batch' (clones of
+    existing docs) banded against the full document index — each new doc
+    must collide with its source; index×index pairs are never formed."""
+    from .operators.dedup import incremental_lsh_pairs
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    new = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text")
+    idx_sigs = minhash_signatures(docs, "text", "doc_id", k=_MH_K,
+                                  hash_mode="md5")
+    new_sigs = minhash_signatures(new, "text", "doc_id", k=_MH_K,
+                                  hash_mode="md5")
+    return incremental_lsh_pairs(idx_sigs, new_sigs, bands=4, k=_MH_K)
+
+
+def _sql_incremental_lsh_pairs() -> str:
+    idx = _sql_minhash_sigs("documents")
+    new = _sql_minhash_sigs(
+        "(SELECT doc_id + 500000 AS doc_id, text FROM documents "
+        "WHERE doc_id < 50)")
+    def bands(src, alias):
+        return "\nUNION ALL\n".join(
+            f"SELECT id, {b} AS band_idx, "
+            f"md5(mh_{2*b}::VARCHAR || ',' || mh_{2*b+1}::VARCHAR) "
+            f"AS band_hash FROM {alias}"
+            for b in range(4))
+    return f"""
+WITH idx_sigs AS ({idx}),
+new_sigs AS ({new}),
+all_bands AS ({bands(None, 'idx_sigs')}
+UNION ALL
+{bands(None, 'new_sigs')}),
+new_bands AS ({bands(None, 'new_sigs')})
+SELECT DISTINCT least(a.id, n.id) AS id_a, greatest(a.id, n.id) AS id_b
+FROM all_bands a JOIN new_bands n USING (band_idx, band_hash)
+WHERE a.id <> n.id
+"""
+
+
 def q_json_roundtrip_source(spark, sf_dir):
     """JSON source with explicit schema (sources.read_json): region is
     re-written as JSON lines and read back; the oracle reads the original
@@ -2252,4 +2291,6 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "json_roundtrip_source": (q_json_roundtrip_source, SQL_JSON_ROUNDTRIP),
     "scrub_by_class_roundtrip": (q_scrub_by_class_roundtrip,
                                  SQL_SCRUB_BY_CLASS),
+    "incremental_lsh_pairs": (q_incremental_lsh_pairs,
+                              _sql_incremental_lsh_pairs()),
 }

@@ -212,3 +212,24 @@ def test_bucket_pairs_star_carries_extra_cols(spark):
     out = _bucket_pairs(df, key_cols=["b"], extra_cols=["v"], max_bucket=2)
     rows = {(r.id_a, r.id_b, r.v_a, r.v_b) for r in out.collect()}
     assert rows == {(0, i, 0, i * 10) for i in range(1, 5)}
+
+
+def test_incremental_lsh_never_joins_index_with_itself(spark, hot_docs):
+    """A mega-cluster in the INDEX must not explode an incremental run:
+    with a 10-doc new batch, output is bounded by new×index collisions —
+    never the index's internal m²/2."""
+    from discoverx_spark.operators.dedup import (incremental_lsh_pairs,
+                                                 minhash_signatures)
+    idx = minhash_signatures(hot_docs, "text", "doc_id", k=8)
+    new = hot_docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text")
+    new_sigs = minhash_signatures(new, "text", "doc_id", k=8)
+    pairs = incremental_lsh_pairs(idx, new_sigs, bands=4, k=8)
+    n = pairs.count()
+    # 5 new clones × 10_000 index clones + within-new pairs ≈ 50_010;
+    # the index's own 5·10⁷ pairs never appear
+    assert 50_000 <= n <= 50_100
+    # plan property: the index side is probed via a broadcast of the new
+    # batch — no shuffle of the index bands
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
