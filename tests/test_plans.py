@@ -137,6 +137,41 @@ def test_pack_sequences_single_window_exchange(spark):
     assert plan.count("Window") == 1
 
 
+def test_registry_wide_plan_budgets(spark):
+    """Every query in the registry must stay inside a shuffle budget and
+    contain no CartesianProduct — a blanket guard against plan
+    regressions anywhere in the surface (queries that perform writes as
+    part of their setup are exercised for the same properties, their
+    side effects going to the reusable scratch dir)."""
+    # queries whose DataFrame is driver-built (createDataFrame) or whose
+    # plan is dominated by generated VALUES — exchange budget still applies
+    budgets = {
+        # banding self-joins + distinct + (window cap): more exchanges
+        # jaccard verify joins the shingle frame back onto the candidate
+        # set twice (AQE broadcasts the tiny candidate side at runtime)
+        "minhash_lsh_pairs": 8, "jaccard_verify_pairs": 12,
+        "minhash_neardup_xxhash": 8, "simhash_neardup": 8,
+        "conversation_near_duplicates": 8, "embedding_lsh_neardup": 8,
+        "incremental_lsh_pairs": 8,
+        # two ranking windows (probe selection + final top-k) + assign
+        "ivf_topk": 8,
+        # history top-2 window + two op streams + full-outer + dim joins
+        "housekeeping_gates": 8,
+        # multi-stage compositions
+        "curation_pipeline_documents": 8, "dedup_conversations": 8,
+        "user_sessions": 6, "transcripts_conversation_stats": 6,
+        "conversation_stats_documents": 6,
+    }
+    default_budget = 5
+    for name, (fn, _sql) in QUERIES.items():
+        df = fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        n_ex = plan.count("Exchange")
+        assert n_ex <= budgets.get(name, default_budget), \
+            f"{name}: {n_ex} exchanges (budget {budgets.get(name, default_budget)})"
+
+
 def test_ivf_assign_broadcasts_centroids(spark):
     from discoverx_spark.operators.similarity import ivf_assign
 
