@@ -6,6 +6,7 @@ from .dedup import (tokens_expr, shingles_expr, exact_duplicates, dedup_exact,
                     minhash_signatures, minhash_signature_exprs,
                     minhash_struct_expr,
                     lsh_candidate_pairs, minhash_near_duplicates,
+                    incremental_lsh_pairs,
                     jaccard_pairs, simhash_expr, simhash_near_duplicates,
                     connected_components, dedup_clusters)
 from .packing import pack_sequences, token_counts, top_tokens
@@ -31,5 +32,5 @@ __all__ = [
     "lsh_signature_expr",
     "pack_sequences", "token_counts", "top_tokens",
     "hash_sample", "stratified_hash_sample", "split_train_holdout",
-    "cap_per_group",
+    "cap_per_group", "incremental_lsh_pairs",
 ]
