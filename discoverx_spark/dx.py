@@ -53,6 +53,23 @@ class DX:
 
     # -- rules (reference dx.py:70-98) ---------------------------------------
 
+    def intro(self) -> str:
+        """Getting-started blurb (reference dx.intro, dx.py:61-110 prints
+        HTML; here a plain string is returned AND printed)."""
+        text = (
+            "DX — scan, classify and act on your tables.\n"
+            "  1. register tables:   dx.register('cat.sch.tbl', df)\n"
+            "  2. scan:              dx.scan(from_tables='*.*.*')\n"
+            "  3. inspect classes:   dx.scan_result.get_classes()\n"
+            "  4. act:               dx.search(...) / dx.select_by_classes(...)"
+            " / dx.delete_by_class(...) / dx.scrub_by_classes(...)\n"
+            "  5. explore:           dx.from_tables('*.*.*')"
+            ".having_columns(...).with_sql('...').apply()\n"
+            f"Rules available: {len(self.rules.get_rules('*'))} "
+            "(dx.display_rules())")
+        print(text)
+        return text
+
     def display_rules(self) -> List[str]:
         return [f"{r.name} - {r.description}" for r in self.rules.get_rules("*")]
 

@@ -186,3 +186,11 @@ def test_explorer_map(dx):
     counts = dict(dx.from_tables("main.default.*")
                   .map(lambda name, df: (name, df.count())))
     assert counts["main.default.tb_1"] == 2
+
+
+def test_intro_mentions_the_lifecycle(spark):
+    from discoverx_spark.dx import DX
+    text = DX(spark).intro()
+    for kw in ("register", "scan", "search", "scrub_by_classes",
+               "display_rules"):
+        assert kw in text
