@@ -1,0 +1,100 @@
+"""Sparse lexical retrieval: term statistics and BM25 top-k.
+
+The embedding-free complement to ``operators/similarity.py``: curation
+pipelines use lexical retrieval to pull contamination candidates
+(benchmark-overlap queries), to audit near-misses of the dedup layer, and
+to build quality-by-query slices — all without a model.
+
+Spark shape (the inverted-index plan):
+
+* ``term_frequencies`` — explode tokens → ``groupBy(doc, term)`` count;
+  map-side combine makes the shuffle one row per distinct (doc, term).
+* document frequencies / lengths are tiny aggregates over the same pass.
+* ``bm25_topk`` — the query terms are a LITERAL filter pushed at the term
+  table (an inverted-index probe: only postings of query terms move),
+  then one ``groupBy(doc)`` sums the per-term BM25 contributions and a
+  TakeOrdered emits the top-k.  Nothing about the corpus is ever
+  collected to the driver.
+
+Scoring is the standard Okapi BM25 (public formula):
+``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+``score = Σ idf · tf·(k1+1)/(tf + k1·(1 - b + b·len/avglen))``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokens_sql_expr
+
+K1 = 1.2
+B = 0.75
+
+
+def term_frequencies(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term, tf) over lowercased whitespace tokens."""
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(tokens_sql_expr(text_col)).alias("term"))
+            .groupBy("id", "term").agg(F.count("*").alias("tf")))
+
+
+def doc_lengths(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, dl) token counts per document."""
+    return df.select(F.col(id_col).alias("id"),
+                     F.coalesce(F.size(tokens_sql_expr(text_col)), F.lit(0))
+                     .cast("long").alias("dl"))
+
+
+def bm25_topk(df: DataFrame, text_col: str, id_col: str,
+              query: str, k: int = 10,
+              k1: float = K1, b: float = B,
+              round_digits: int = 6) -> DataFrame:
+    """Top-k documents for a single query string by Okapi BM25.
+
+    Returns (id, score, rank) with a deterministic total order (score
+    desc rounded, id asc).  The postings filter (``term isin query``)
+    sits directly on the exploded scan, so only query-term postings are
+    aggregated — the inverted-index probe, not a full-corpus score."""
+    q_terms = sorted(set(query.lower().split()))
+    if not q_terms:
+        raise ValueError("query has no terms")
+    tf = term_frequencies(df, text_col, id_col) \
+        .filter(F.col("term").isin(q_terms))
+    # corpus statistics: N and avg length (two scalars), df per query term
+    stats = doc_lengths(df, text_col, id_col)
+    agg = stats.agg(F.count("*").alias("n"),
+                    F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = agg["n"], float(agg["avgdl"])
+    dfs = {r["term"]: r["df"] for r in
+           tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+           .collect()}
+    idf = {t: math.log(1.0 + (n_docs - dfs.get(t, 0) + 0.5)
+                       / (dfs.get(t, 0) + 0.5)) for t in q_terms}
+    idf_map = F.create_map(
+        *[x for t in q_terms for x in (F.lit(t), F.lit(idf[t]))])
+    scored = (tf.join(stats, on="id")
+              .withColumn("_idf", idf_map[F.col("term")])
+              .withColumn(
+                  "_s",
+                  F.col("_idf") * (F.col("tf") * (k1 + 1))
+                  / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)))
+              # deterministic summation ORDER (sorted by term, sequential
+              # left fold): float addition is not associative, and the
+              # cross-engine oracle hash needs bit-identical doubles —
+              # same policy as the cosine dot-product fold
+              .groupBy("id")
+              .agg(F.aggregate(
+                  F.array_sort(F.collect_list(F.struct("term", "_s"))),
+                  F.lit(0.0),
+                  lambda acc, x: acc + x["_s"]).alias("score")))
+    # top-k via TakeOrderedAndProject (never a global sort); the ranking
+    # window then runs over the ≤k surviving rows only
+    topk = (scored.select("id", F.round("score", round_digits).alias("score"))
+            .orderBy(F.desc("score"), F.asc("id")).limit(k))
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return topk.withColumn("rank", F.row_number().over(w))

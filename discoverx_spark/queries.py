@@ -1081,6 +1081,54 @@ SELECT * FROM (VALUES
 """
 
 
+_BM25_QUERY = "table scan merge"
+_BM25_K = 10
+
+
+def q_bm25_topk_documents(spark, sf_dir):
+    """Okapi BM25 top-10 for a fixed query — the embedding-free retrieval
+    path (contamination checks, quality-by-query slices).  Inverted-index
+    plan: only query-term postings are aggregated."""
+    from .operators.retrieval import bm25_topk
+    docs = _t(spark, sf_dir, "documents").repartition(32)
+    return bm25_topk(docs, "text", "doc_id", _BM25_QUERY, k=_BM25_K)
+
+
+def _sql_bm25_topk() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(set(_BM25_QUERY.split())))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '(\S+)', 1) AS t
+  FROM documents),
+stats AS (SELECT id, len(t) AS dl FROM toks),
+corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM stats),
+tf AS (
+  SELECT id, term, count(*) AS tf FROM
+    (SELECT id, unnest(t) AS term FROM toks)
+  WHERE term IN ({terms})
+  GROUP BY id, term),
+dfreq AS (SELECT term, count(DISTINCT id) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.id, tf.term,
+         ln(1 + (corpus.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * stats.dl / corpus.avgdl)) AS s
+  FROM tf
+  JOIN dfreq USING (term) JOIN stats USING (id) CROSS JOIN corpus),
+scored AS (
+  SELECT id,
+         list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+                     (a, x) -> a + x) AS score
+  FROM contrib GROUP BY id)
+SELECT id, round(score, 6) AS score, CAST(rank AS INTEGER) AS rank
+FROM (SELECT id, score,
+             row_number() OVER (ORDER BY round(score, 6) DESC, id ASC)
+               AS rank
+      FROM scored)
+WHERE rank <= {_BM25_K}
+"""
+
+
 def q_incremental_lsh_pairs(spark, sf_dir):
     """Incremental near-dup candidates: a 50-doc 'new batch' (clones of
     existing docs) banded against the full document index — each new doc
@@ -2293,4 +2341,5 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
                                  SQL_SCRUB_BY_CLASS),
     "incremental_lsh_pairs": (q_incremental_lsh_pairs,
                               _sql_incremental_lsh_pairs()),
+    "bm25_topk_documents": (q_bm25_topk_documents, _sql_bm25_topk()),
 }

@@ -172,6 +172,19 @@ def test_registry_wide_plan_budgets(spark):
             f"{name}: {n_ex} exchanges (budget {budgets.get(name, default_budget)})"
 
 
+def test_bm25_is_an_inverted_index_probe(spark):
+    """BM25 must aggregate only query-term postings (isin filter on the
+    exploded terms) and finish with TakeOrdered, never a global sort."""
+    from discoverx_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = bm25_topk(docs, "text", "doc_id", "table scan", k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "scan IN" in plan.replace("`", "") or "IN (" in plan  # postings filter
+    assert "CartesianProduct" not in plan
+
+
 def test_ivf_assign_broadcasts_centroids(spark):
     from discoverx_spark.operators.similarity import ivf_assign
 
