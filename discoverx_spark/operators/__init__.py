@@ -10,7 +10,8 @@ from .dedup import (tokens_expr, shingles_expr, exact_duplicates, dedup_exact,
                     jaccard_pairs, simhash_expr, simhash_near_duplicates,
                     connected_components, dedup_clusters)
 from .packing import pack_sequences, token_counts, top_tokens
-from .retrieval import bm25_topk, doc_lengths, term_frequencies
+from .retrieval import (bm25_topk, doc_lengths, sparse_near_duplicates,
+                        term_frequencies, tfidf_weights)
 from .sampling import (cap_per_group, hash_sample, split_train_holdout,
                        stratified_hash_sample)
 from .similarity import (dot_expr, norm_expr, cosine_expr, brute_force_topk,
@@ -35,4 +36,5 @@ __all__ = [
     "hash_sample", "stratified_hash_sample", "split_train_holdout",
     "cap_per_group", "incremental_lsh_pairs",
     "bm25_topk", "term_frequencies", "doc_lengths",
+    "tfidf_weights", "sparse_near_duplicates",
 ]

@@ -98,3 +98,71 @@ def bm25_topk(df: DataFrame, text_col: str, id_col: str,
             .orderBy(F.desc("score"), F.asc("id")).limit(k))
     w = Window.orderBy(F.desc("score"), F.asc("id"))
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+def tfidf_weights(df: DataFrame, text_col: str, id_col: str,
+                  max_df: int = None) -> DataFrame:
+    """(id, term, w) smooth TF-IDF weights: ``w = tf · ln(1 + N/df)``.
+
+    ``max_df`` prunes terms appearing in more than that many documents —
+    the standard all-pairs-similarity guard: a stopword-grade term's
+    postings list self-joins into |postings|² pairs, and high-df terms
+    carry almost no similarity signal anyway (their idf ≈ 0).  At web
+    scale ALWAYS set it (the sparse near-dup wrapper defaults it on)."""
+    tf = term_frequencies(df, text_col, id_col)
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    return (tf.join(dfreq, on="term")
+            .select("id", "term",
+                    (F.col("tf")
+                     * F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df"))
+                     ).alias("w")))
+
+
+def sparse_near_duplicates(df: DataFrame, text_col: str, id_col: str,
+                           threshold: float = 0.8,
+                           max_df: int = 1000,
+                           round_digits: int = 6) -> DataFrame:
+    """Lexical near-dup pairs by TF-IDF cosine — the sparse third family
+    next to MinHash (set overlap) and SimHash (Hamming): it weighs RARE
+    shared vocabulary, so it catches templated pages that differ only in
+    boilerplate (which MinHash over-counts) and near-translations sharing
+    names/numbers.
+
+    Plan: inverted-index self-join — pairs form per TERM posting list
+    (shuffle key = term, never the documents), per-pair dot products fold
+    in sorted-term order (bit-reproducible for the oracle), norms join
+    back broadcast-sized.  ``max_df`` bounds each posting list (see
+    :func:`tfidf_weights`); output is (id_a, id_b, cosine ≥ threshold).
+
+    The weight frame is MATERIALIZED (eager localCheckpoint) before use:
+    it is referenced three times (two join sides + norms), and Spark
+    re-derives an unmaterialized reference per use — measured 30
+    exchanges vs 7.  At production scale the TF-IDF index is a table you
+    write once and reuse anyway; pass a pre-built frame via
+    :func:`tfidf_weights` + your own storage to skip the checkpoint."""
+    w = tfidf_weights(df, text_col, id_col, max_df=max_df) \
+        .localCheckpoint(eager=True)
+    norms = w.groupBy("id").agg(
+        F.sqrt(F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "w"))),
+            F.lit(0.0), lambda acc, x: acc + x["w"] * x["w"]))
+        .alias("norm"))
+    a = w.select(F.col("id").alias("id_a"), "term", F.col("w").alias("w_a"))
+    b = w.select(F.col("id").alias("id_b"), "term", F.col("w").alias("w_b"))
+    dots = (a.join(b, on="term")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.aggregate(
+                F.array_sort(F.collect_list(
+                    F.struct("term", (F.col("w_a") * F.col("w_b")).alias("p")))),
+                F.lit(0.0), lambda acc, x: acc + x["p"]).alias("dot")))
+    na = norms.select(F.col("id").alias("id_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("norm").alias("norm_b"))
+    return (dots.join(na, on="id_a").join(nb, on="id_b")
+            .select("id_a", "id_b",
+                    F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")),
+                            round_digits).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

@@ -1129,6 +1129,48 @@ WHERE rank <= {_BM25_K}
 """
 
 
+def q_sparse_neardup_documents(spark, sf_dir):
+    """TF-IDF cosine near-dup pairs (the sparse lexical family next to
+    MinHash/SimHash): inverted-index self-join with the high-df postings
+    cap, rare shared vocabulary weighted up."""
+    from .operators.retrieval import sparse_near_duplicates
+    docs = _t(spark, sf_dir, "documents").repartition(32)
+    return sparse_near_duplicates(docs, "text", "doc_id", threshold=0.8,
+                                  max_df=1000)
+
+
+def _sql_sparse_neardup() -> str:
+    return r"""
+WITH tf AS (
+  SELECT id, term, count(*) AS tf FROM
+    (SELECT doc_id AS id,
+            unnest(regexp_extract_all(lower(text), '(\S+)', 1)) AS term
+     FROM documents)
+  GROUP BY id, term),
+nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+dfreq AS (SELECT term, count(DISTINCT id) AS df FROM tf GROUP BY term),
+w AS (
+  SELECT id, term,
+         tf * ln(1 + (SELECT n FROM nn)::DOUBLE / df) AS w
+  FROM tf JOIN dfreq USING (term) WHERE df <= 1000),
+norms AS (
+  SELECT id, sqrt(list_reduce(list_prepend(0.0, list(w * w ORDER BY term)),
+                              (a, x) -> a + x)) AS norm
+  FROM w GROUP BY id),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         list_reduce(list_prepend(0.0, list(a.w * b.w ORDER BY a.term)),
+                     (acc, x) -> acc + x) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT id_a, id_b, round(dot / (na.norm * nb.norm), 6) AS cosine
+FROM dots
+JOIN norms na ON dots.id_a = na.id
+JOIN norms nb ON dots.id_b = nb.id
+WHERE round(dot / (na.norm * nb.norm), 6) >= 0.8
+"""
+
+
 def q_incremental_lsh_pairs(spark, sf_dir):
     """Incremental near-dup candidates: a 50-doc 'new batch' (clones of
     existing docs) banded against the full document index — each new doc
@@ -2342,4 +2384,6 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "incremental_lsh_pairs": (q_incremental_lsh_pairs,
                               _sql_incremental_lsh_pairs()),
     "bm25_topk_documents": (q_bm25_topk_documents, _sql_bm25_topk()),
+    "sparse_neardup_documents": (q_sparse_neardup_documents,
+                                 _sql_sparse_neardup()),
 }

@@ -153,6 +153,8 @@ def test_registry_wide_plan_budgets(spark):
         "minhash_neardup_xxhash": 8, "simhash_neardup": 8,
         "conversation_near_duplicates": 8, "embedding_lsh_neardup": 8,
         "incremental_lsh_pairs": 8,
+        # inverted-index self-join + norms joins + per-pair fold
+        "sparse_neardup_documents": 9,
         # two ranking windows (probe selection + final top-k) + assign
         "ivf_topk": 8,
         # history top-2 window + two op streams + full-outer + dim joins

@@ -233,3 +233,25 @@ def test_incremental_lsh_never_joins_index_with_itself(spark, hot_docs):
     # batch — no shuffle of the index bands
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_sparse_neardup_df_cap_prunes_mega_postings(spark, hot_docs):
+    """The high-df postings cap is the sparse family's m²/2 guard: the
+    10k-clone mega-cluster's terms all have df≈10k and are pruned at
+    max_df=100, so it contributes ZERO pairs (exact dedup owns identical
+    docs) — while a planted rare-vocabulary near-dup pair is still found."""
+    from discoverx_spark.operators.retrieval import sparse_near_duplicates
+    planted = spark.createDataFrame(
+        [(2_000_000, "zephyr quixotic marmalade flotilla syzygy"),
+         (2_000_001, "zephyr quixotic marmalade flotilla parallax")],
+        "doc_id long, text string")
+    corpus = hot_docs.unionByName(planted)
+    out = {(r.id_a, r.id_b)
+           for r in sparse_near_duplicates(corpus, "text", "doc_id",
+                                           threshold=0.5,
+                                           max_df=100).collect()}
+    assert (2_000_000, 2_000_001) in out
+    # the 10k-clone block (ids < 1M) contributes no pairs at all — its
+    # entire vocabulary was pruned at the cap. (The 50 'unique document
+    # number N' docs at 1M+ legitimately pair: they share low-df terms.)
+    assert not any(a < 1_000_000 or b < 1_000_000 for a, b in out)
