@@ -258,6 +258,32 @@ def tokens_sql_expr(col) -> Column:
     return F.regexp_extract_all(F.lower(_c(col)), F.lit(r"(\S+)"), 1)
 
 
+def make_compression_ratio_udf(level: int = 6):
+    """Arrow-batched compression-ratio quality signal:
+    ``len(zlib(text)) / len(text_bytes)`` — the Gopher-family repetition
+    proxy (highly templated/repetitive text compresses far below fluent
+    prose; ratios near or above 1 flag high-entropy noise).  Deterministic
+    for a fixed zlib level within one runtime (driver and executors share
+    the interpreter's zlib, so driver-side expected-output oracles hold).
+    Empty/None texts score 1.0 (no signal)."""
+    import zlib
+
+    import pyspark.sql.types as T
+
+    def batches(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            out = []
+            for t in s.tolist():
+                if not t:
+                    out.append(1.0)
+                else:
+                    raw = t.encode("utf-8")
+                    out.append(len(zlib.compress(raw, level)) / len(raw))
+            yield pd.Series(out, dtype="float64")
+
+    return F.pandas_udf(batches, returnType=T.DoubleType())
+
+
 # --------------------------------------------------------------------------
 # Toxicity heuristic gate
 # --------------------------------------------------------------------------

@@ -1129,6 +1129,44 @@ WHERE rank <= {_BM25_K}
 """
 
 
+_CR_CONVS = 60
+
+
+def q_compression_ratio_transcripts(spark, sf_dir):
+    """zlib compression-ratio quality signal over deterministic generated
+    turns (the Gopher repetition proxy; DuckDB has no zlib, so the oracle
+    is a driver-computed VALUES table over the identical input)."""
+    from .functions.text import make_compression_ratio_udf
+    from .transcripts import generate_transcripts
+
+    turns = generate_transcripts(spark, _CR_CONVS, seed=42)
+    return turns.select(
+        (F.regexp_extract("conv_id", r"(\d+)$", 1).cast("long") * 1000
+         + F.col("turn_idx")).alias("turn_id"),
+        make_compression_ratio_udf()(F.col("text")).alias("compression_ratio"))
+
+
+def _sql_compression_ratio_transcripts() -> str:
+    import zlib
+
+    from .transcripts import generate_transcripts_pandas
+
+    pdf = generate_transcripts_pandas(_CR_CONVS, seed=42)
+    rows = []
+    for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"],
+                                       pdf["text"]):
+        tid = int(conv_id.rsplit("-", 1)[1]) * 1000 + int(turn_idx)
+        if not text:
+            ratio = 1.0
+        else:
+            raw = text.encode("utf-8")
+            ratio = len(zlib.compress(raw, 6)) / len(raw)
+        rows.append((tid, ratio))
+    values = ",\n".join(f"({t}, {_sql_lit(r)})" for t, r in rows)
+    return (f"SELECT CAST(turn_id AS BIGINT) AS turn_id, compression_ratio "
+            f"FROM (VALUES\n{values}\n) AS t(turn_id, compression_ratio)")
+
+
 def q_sparse_neardup_documents(spark, sf_dir):
     """TF-IDF cosine near-dup pairs (the sparse lexical family next to
     MinHash/SimHash): inverted-index self-join with the high-df postings
@@ -2386,4 +2424,6 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "bm25_topk_documents": (q_bm25_topk_documents, _sql_bm25_topk()),
     "sparse_neardup_documents": (q_sparse_neardup_documents,
                                  _sql_sparse_neardup()),
+    "compression_ratio_transcripts": (q_compression_ratio_transcripts,
+                                      _sql_compression_ratio_transcripts()),
 }

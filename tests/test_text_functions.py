@@ -139,3 +139,19 @@ def test_perplexity_udf_accepts_trained_lm(spark):
     b = [r.p for r in df.select(
         make_perplexity_udf(lm)(F.col("text")).alias("p")).collect()]
     assert a == b  # trained-on-embedded == embedded, end to end
+
+
+def test_compression_ratio_separates_repetition(spark):
+    from discoverx_spark.functions.text import make_compression_ratio_udf
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, "spam spam spam " * 40),
+         (2, "the quick brown fox jumps over the lazy dog while the patient "
+             "engineer reads query plans and checks filters carefully"),
+         (3, None), (4, "")],
+        "id long, text string")
+    got = {r.id: r.cr for r in df.select(
+        "id", make_compression_ratio_udf()(F.col("text")).alias("cr")).collect()}
+    assert got[1] < 0.2          # heavy repetition compresses hard
+    assert 0.4 < got[2] <= 1.1   # fluent prose does not
+    assert got[3] == 1.0 and got[4] == 1.0
