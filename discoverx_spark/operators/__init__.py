@@ -6,7 +6,7 @@ from .dedup import (tokens_expr, shingles_expr, exact_duplicates, dedup_exact,
                     minhash_signatures, minhash_signature_exprs,
                     minhash_struct_expr,
                     lsh_candidate_pairs, minhash_near_duplicates,
-                    incremental_lsh_pairs,
+                    incremental_lsh_pairs, contamination_check,
                     jaccard_pairs, simhash_expr, simhash_near_duplicates,
                     connected_components, dedup_clusters)
 from .packing import pack_sequences, token_counts, top_tokens
@@ -34,7 +34,7 @@ __all__ = [
     "lsh_signature_expr",
     "pack_sequences", "token_counts", "top_tokens",
     "hash_sample", "stratified_hash_sample", "split_train_holdout",
-    "cap_per_group", "incremental_lsh_pairs",
+    "cap_per_group", "incremental_lsh_pairs", "contamination_check",
     "bm25_topk", "term_frequencies", "doc_lengths",
     "tfidf_weights", "sparse_near_duplicates",
 ]

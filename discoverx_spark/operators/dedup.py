@@ -353,6 +353,32 @@ def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
                             .filter(F.col("est_jaccard") >= threshold)))
 
 
+def contamination_check(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: str = None, n: int = 13) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    ``n``-gram with an evaluation set (the GPT-3-style 13-gram rule).
+
+    Returns (id, n_shared) — corpus docs with ≥1 distinct shared n-gram
+    and how many.  Plan: the benchmark's n-gram set is tiny (eval sets
+    are), so it broadcasts; the corpus side is one explode + a broadcast
+    semi-ish join + groupBy(id) — the 100 TB corpus is scanned once and
+    shuffles only (id, gram-hit) rows.  Hash the grams (xxhash64) in
+    production to shrink the broadcast; the oracle-checked md5-free form
+    compares gram strings directly."""
+    bench_col = bench_text_col or text_col
+    bench_grams = (benchmark
+                   .select(F.explode(shingles_expr(bench_col, n))
+                           .alias("gram"))
+                   .distinct())
+    corpus_grams = (corpus.select(F.col(id_col).alias("id"),
+                                  F.explode(F.array_distinct(
+                                      shingles_expr(text_col, n)))
+                                  .alias("gram")))
+    return (corpus_grams.join(F.broadcast(bench_grams), on="gram")
+            .groupBy("id").agg(F.count("*").alias("n_shared")))
+
+
 def incremental_lsh_pairs(index_sigs: DataFrame, new_sigs: DataFrame,
                           bands: int = 4, k: int = 16,
                           broadcast_new: bool = True) -> DataFrame:

@@ -1129,6 +1129,42 @@ WHERE rank <= {_BM25_K}
 """
 
 
+_DECON_N = 13
+
+
+def q_contamination_check(spark, sf_dir):
+    """Benchmark decontamination (GPT-3-style 13-gram overlap): flag
+    corpus docs sharing any word 13-gram with a 5-doc 'eval set' (drawn
+    from the corpus itself, so hits are guaranteed)."""
+    from .operators.dedup import contamination_check
+    docs = _t(spark, sf_dir, "documents").repartition(32)
+    bench = docs.filter(F.col("doc_id") < 5).select("text")
+    return contamination_check(docs, bench, n=_DECON_N)
+
+
+def _sql_contamination_check() -> str:
+    n = _DECON_N
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    shingles = (f"CASE WHEN len(t) >= {n} "
+                f"THEN list_transform(range(1, len(t) - {n - 2}), "
+                f"i -> {gram}) "
+                f"ELSE [array_to_string(t, ' ')] END")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '(\S+)', 1) AS t
+  FROM documents),
+corpus_g AS (
+  SELECT doc_id AS id, unnest(list_distinct({shingles})) AS gram
+  FROM toks),
+bench_g AS (
+  SELECT DISTINCT unnest({shingles}) AS gram
+  FROM toks WHERE doc_id < 5)
+SELECT id, CAST(count(*) AS BIGINT) AS n_shared
+FROM corpus_g JOIN bench_g USING (gram)
+GROUP BY id
+"""
+
+
 _CR_CONVS = 60
 
 
@@ -2426,4 +2462,6 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
                                  _sql_sparse_neardup()),
     "compression_ratio_transcripts": (q_compression_ratio_transcripts,
                                       _sql_compression_ratio_transcripts()),
+    "contamination_check": (q_contamination_check,
+                            _sql_contamination_check()),
 }
