@@ -6,7 +6,7 @@ from .dedup import (tokens_expr, shingles_expr, exact_duplicates, dedup_exact,
                     minhash_signatures, minhash_signature_exprs,
                     minhash_struct_expr,
                     lsh_candidate_pairs, minhash_near_duplicates,
-                    incremental_lsh_pairs, contamination_check,
+                    incremental_lsh_pairs, contamination_check, line_dedup,
                     jaccard_pairs, simhash_expr, simhash_near_duplicates,
                     connected_components, dedup_clusters)
 from .packing import pack_sequences, token_counts, top_tokens
@@ -17,7 +17,7 @@ from .sampling import (cap_per_group, hash_sample, split_train_holdout,
 from .similarity import (dot_expr, norm_expr, cosine_expr, brute_force_topk,
                          embedding_near_duplicates, lsh_topk, ivf_train, ivf_assign,
                          ivf_topk, lsh_near_duplicates,
-                         lsh_signature_expr)
+                         lsh_signature_expr, semantic_dedup)
 
 __all__ = [
     "conversation_stats", "conversation_fingerprints",
@@ -35,6 +35,7 @@ __all__ = [
     "pack_sequences", "token_counts", "top_tokens",
     "hash_sample", "stratified_hash_sample", "split_train_holdout",
     "cap_per_group", "incremental_lsh_pairs", "contamination_check",
+    "line_dedup", "semantic_dedup",
     "bm25_topk", "term_frequencies", "doc_lengths",
     "tfidf_weights", "sparse_near_duplicates",
 ]

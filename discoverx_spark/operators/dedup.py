@@ -633,3 +633,70 @@ def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
         max_bucket=max_bucket,
         project=lambda df: (df.select("id_a", "id_b", hamming)
                             .filter(F.col("hamming") <= max_hamming)))
+
+
+# --------------------------------------------------------------------------
+# Corpus-wide line-level dedup (C4 / Dolma paragraph-dedup family)
+# --------------------------------------------------------------------------
+
+def line_dedup(df: DataFrame, text_col: str, id_col: str,
+               min_count: int = 2,
+               hash_mode: str = "xxhash64") -> DataFrame:
+    """Remove lines that repeat across the corpus, keeping only the first
+    occurrence (C4's repeated-span rule / Dolma's paragraph dedup, applied
+    at line granularity).
+
+    A line participates in dedup iff its whitespace-trimmed form is
+    non-empty; a line whose trimmed form occurs ``min_count``+ times
+    corpus-wide survives only at the occurrence with the smallest
+    ``(doc_id, position)`` and is deleted everywhere else.  Returns one row
+    per input document: ``(id, clean_text, n_lines, n_removed)`` — docs
+    whose every line is removed come back with ``clean_text = ''``.
+
+    100 TB shape — the text column is shuffled AT MOST ONCE:
+
+    * the duplicate-detection ``groupBy`` shuffles only
+      ``(line_key, id, pos)`` short rows, never line text;
+    * empty/whitespace lines are filtered out BEFORE the groupBy — on web
+      corpora the empty line is by far the hottest key and would otherwise
+      concentrate a huge fraction of the shuffle on one reducer;
+    * the removal decision comes back to each doc as a small
+      ``(id, [positions])`` list joined on ``id`` (broadcastable whenever
+      the duplicate mass is modest), and the doc is rebuilt with a pure
+      ``filter``-by-index projection — no line-level reassembly shuffle
+      carrying text.
+
+    Hot duplicate lines (boilerplate in millions of docs) fan out into
+    large removal groups; that is the actual work, and AQE skew-join
+    handles the join side.  ``hash_mode='md5'`` gives DuckDB-reproducible
+    keys for the oracle; production uses JVM ``xxhash64``.
+    """
+    if min_count < 2:
+        raise ValueError("min_count < 2 would delete unique lines")
+    hf = _hash_fn(hash_mode, 0)
+    parts = F.split(F.col(text_col), "\n")
+    lines = (df.select(F.col(id_col).alias("_ld_id"),
+                       F.posexplode(parts).alias("pos", "line"))
+               .where(F.trim("line") != "")
+               .select("_ld_id", "pos", hf(F.trim("line")).alias("k")))
+    winners = (lines.groupBy("k")
+               .agg(F.min(F.struct("_ld_id", "pos")).alias("w"),
+                    F.count(F.lit(1)).alias("cnt"))
+               .where(F.col("cnt") >= min_count)
+               .select("k", F.col("w._ld_id").alias("w_id"),
+                       F.col("w.pos").alias("w_pos")))
+    removals = (lines.join(winners, "k")
+                .where((F.col("_ld_id") != F.col("w_id"))
+                       | (F.col("pos") != F.col("w_pos")))
+                .groupBy("_ld_id")
+                .agg(F.collect_list("pos").alias("_ld_rm")))
+    rm = F.coalesce(F.col("_ld_rm"), F.array().cast("array<int>"))
+    clean = F.array_join(
+        F.filter(parts, lambda x, i: ~F.array_contains(rm, i)), "\n")
+    out = df.join(removals,
+                  df[id_col] == removals["_ld_id"], "left")
+    return out.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(parts).alias("n_lines"),
+        F.size(rm).alias("n_removed"))

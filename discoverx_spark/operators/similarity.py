@@ -262,3 +262,72 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("centroid_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1).select("id", "centroid_id"))
+
+
+def semantic_dedup(corpus: DataFrame, centroids: DataFrame,
+                   threshold: float = 0.95, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   max_cluster: Optional[int] = 1024,
+                   round_digits: int = 6) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): semantic dedup via coarse clusters.
+
+    Each vector is assigned to its nearest centroid (broadcast — the
+    corpus is never shuffled for assignment); within a cluster, pairs with
+    ``cosine >= threshold`` are semantic duplicates.  Of every duplicate
+    pair the member FARTHER from its centroid is kept (the paper's
+    keep-low-centroid-similarity rule, which biases the survivor set
+    toward cluster edges), so a vector is dropped iff some same-cluster
+    neighbor above the threshold has a strictly smaller
+    ``(centroid_sim, id)`` — a deterministic one-pass rule that needs no
+    iterative grouping and always keeps the minimal element of every
+    duplicate clique.
+
+    Scale shape: pairing shuffles ``(id, cluster)`` short rows and caps
+    hot clusters (``max_cluster``, see ``dedup._bucket_pairs``); the
+    cosine is projected per pair before any pair-level shuffle.  Output:
+    ``(id, centroid_id, centroid_sim, keep)`` — one row per input vector.
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import _bucket_pairs
+
+    cent = centroids.select(F.col(id_col).alias("centroid_id"),
+                            F.col(vec_col).alias("cent_vec"))
+    scored = (corpus.select(F.col(id_col).alias("id"),
+                            F.col(vec_col).alias("v"))
+              .crossJoin(F.broadcast(cent))
+              .select("id", "v", "centroid_id",
+                      F.round(cosine_expr(F.col("v"), F.col("cent_vec")),
+                              round_digits).alias("centroid_sim")))
+    w = Window.partitionBy("id").orderBy(F.desc("centroid_sim"),
+                                         F.asc("centroid_id"))
+    assign = (scored.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select("id", "v", "centroid_id", "centroid_sim"))
+
+    cos = F.round(cosine_expr(F.col("v_a"), F.col("v_b")),
+                  round_digits).alias("cosine")
+    pairs = _bucket_pairs(
+        assign.select("id", F.col("centroid_id").alias("bucket"), "v"),
+        key_cols=["bucket"], extra_cols=["v"], max_bucket=max_cluster,
+        project=lambda df: (df.select("id_a", "id_b", cos)
+                            .filter(F.col("cosine") >= threshold)))
+    # both orientations of every dup pair, then "x is dropped iff its
+    # partner is strictly smaller by (centroid_sim, id)"
+    both = (pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+            .unionByName(pairs.select(F.col("id_b").alias("x"),
+                                      F.col("id_a").alias("y"))))
+    sims = assign.select(F.col("id"), F.col("centroid_sim"))
+    ranked = (both
+              .join(sims.select(F.col("id").alias("x"),
+                                F.col("centroid_sim").alias("sim_x")), "x")
+              .join(sims.select(F.col("id").alias("y"),
+                                F.col("centroid_sim").alias("sim_y")), "y")
+              .where((F.col("sim_y") < F.col("sim_x"))
+                     | ((F.col("sim_y") == F.col("sim_x"))
+                        & (F.col("y") < F.col("x"))))
+              .select(F.col("x").alias("id")).distinct())
+    return (assign.join(ranked.withColumn("_dropped", F.lit(True)),
+                        "id", "left")
+            .select("id", "centroid_id", "centroid_sim",
+                    F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep")))

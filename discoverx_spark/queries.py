@@ -609,6 +609,60 @@ WHERE id_a < id_b AND round({dot} / ({na} * {nb}), 6) >= 0.99
 """
 
 
+def q_semantic_dedup_embeddings(spark, sf_dir):
+    """SemDeDup over embeddings with planted exact clones: coarse clusters
+    = 16 nearest-centroid cells (centroids: first 16 originals), duplicate
+    pairs at cosine >= 0.99, keep-farthest-from-centroid survivor rule.
+    ``max_cluster=None`` for exhaustive pairs (oracle parity); production
+    defaults the hot-cluster cap ON."""
+    from .operators.similarity import semantic_dedup
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    both = emb.unionByName(
+        emb.filter(F.col("vec_id") < 50)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
+    return semantic_dedup(both, emb.filter(F.col("vec_id") < 16),
+                          threshold=0.99, max_cluster=None)
+
+
+def _sql_semantic_dedup() -> str:
+    a_dot = _SQL_DOT.format(a="b.embedding", b="cent.cv")
+    a_nv = _SQL_NORM.format(a="b.embedding")
+    a_nc = _SQL_NORM.format(a="cent.cv")
+    p_dot = _SQL_DOT.format(a="a.v", b="b2.v")
+    p_na = _SQL_NORM.format(a="a.v")
+    p_nb = _SQL_NORM.format(a="b2.v")
+    return f"""
+WITH both_v AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id < 50),
+cent AS (SELECT vec_id AS centroid_id, embedding AS cv
+         FROM embeddings WHERE vec_id < 16),
+s AS (SELECT b.vec_id AS id, b.embedding AS v, cent.centroid_id,
+             round({a_dot} / ({a_nv} * {a_nc}), 6) AS centroid_sim
+      FROM both_v b, cent),
+assign AS (
+  SELECT id, v, centroid_id, centroid_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY id
+                                 ORDER BY centroid_sim DESC,
+                                          centroid_id ASC) AS rn
+    FROM s) WHERE rn = 1),
+pairs AS (
+  SELECT a.id AS x, b2.id AS y,
+         a.centroid_sim AS sim_x, b2.centroid_sim AS sim_y
+  FROM assign a JOIN assign b2
+    ON a.centroid_id = b2.centroid_id AND a.id <> b2.id
+  WHERE round({p_dot} / ({p_na} * {p_nb}), 6) >= 0.99),
+dropped AS (
+  SELECT DISTINCT x AS id FROM pairs
+  WHERE sim_y < sim_x OR (sim_y = sim_x AND y < x))
+SELECT a.id, a.centroid_id, a.centroid_sim,
+       (d.id IS NULL) AS keep
+FROM assign a LEFT JOIN dropped d ON a.id = d.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # 4. Transcripts pipeline (no SQL oracle — UDF-backed, rows-only check)
 # ---------------------------------------------------------------------------
@@ -1162,6 +1216,63 @@ bench_g AS (
 SELECT id, CAST(count(*) AS BIGINT) AS n_shared
 FROM corpus_g JOIN bench_g USING (gram)
 GROUP BY id
+"""
+
+
+def q_line_dedup_documents(spark, sf_dir):
+    """Corpus-wide duplicate-line removal (C4 repeated-span rule / Dolma
+    paragraph dedup at line granularity) over deterministic multi-line
+    pages.
+
+    The sf documents are single-line, so the query first assembles pages:
+    every doc's text goes to page ``doc_id % 50``, and every third doc's
+    text ALSO goes to page ``(doc_id*7+13) % 50`` — guaranteeing
+    cross-page duplicate lines for :func:`line_dedup` to strip.  md5 hash
+    family for DuckDB key parity; production runs xxhash64."""
+    from .operators.dedup import line_dedup
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select((F.col("doc_id") % 50).alias("page"),
+                    F.col("doc_id").alias("ord"), "text")
+    b = (docs.where(F.col("doc_id") % 3 == 0)
+         .select(((F.col("doc_id") * 7 + 13) % 50).alias("page"),
+                 (F.col("doc_id") + 100000).alias("ord"), "text"))
+    pages = (a.unionByName(b).groupBy("page")
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("ord", "text"))),
+                     lambda s: s["text"]),
+                 "\n").alias("text")))
+    return line_dedup(pages, "text", "page", hash_mode="md5")
+
+
+SQL_LINE_DEDUP = r"""
+WITH pages AS (
+  SELECT page, string_agg(text, chr(10) ORDER BY ord) AS text FROM (
+    SELECT doc_id % 50 AS page, doc_id AS ord, text FROM documents
+    UNION ALL
+    SELECT (doc_id * 7 + 13) % 50 AS page, doc_id + 100000 AS ord, text
+    FROM documents WHERE doc_id % 3 = 0
+  ) GROUP BY page
+),
+sp AS (SELECT page, string_split(text, chr(10)) AS parts FROM pages),
+lines AS (SELECT page, unnest(parts) AS line,
+                 generate_subscripts(parts, 1) AS pos
+          FROM sp),
+keyed AS (SELECT page, pos,
+                 ('0x'||substr(md5(trim(line)||'#g0'),1,8))::BIGINT AS k
+          FROM lines WHERE trim(line) <> ''),
+ranked AS (SELECT page, pos,
+                  ROW_NUMBER() OVER (PARTITION BY k ORDER BY page, pos) AS rn,
+                  COUNT(*) OVER (PARTITION BY k) AS cnt
+           FROM keyed),
+rm AS (SELECT page, pos FROM ranked WHERE cnt >= 2 AND rn > 1)
+SELECT l.page,
+       COALESCE(string_agg(CASE WHEN r.pos IS NULL THEN l.line END,
+                           chr(10) ORDER BY l.pos), '') AS clean_text,
+       CAST(COUNT(*) AS INTEGER) AS n_lines,
+       CAST(COUNT(r.pos) AS INTEGER) AS n_removed
+FROM lines l LEFT JOIN rm r ON l.page = r.page AND l.pos = r.pos
+GROUP BY l.page
 """
 
 
@@ -2464,4 +2575,7 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
                                       _sql_compression_ratio_transcripts()),
     "contamination_check": (q_contamination_check,
                             _sql_contamination_check()),
+    "line_dedup_documents": (q_line_dedup_documents, SQL_LINE_DEDUP),
+    "semantic_dedup_embeddings": (q_semantic_dedup_embeddings,
+                                  _sql_semantic_dedup()),
 }

@@ -222,3 +222,70 @@ def test_role_alternation(spark):
     df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
     v = role_alternation_violations(df).collect()
     assert [(r["conv_id"], r["turn_idx"]) for r in v] == [("a", 1)]
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    from discoverx_spark.operators.dedup import line_dedup
+    rows = [
+        (1, "alpha\nboiler\nbravo"),
+        (2, "boiler\ncharlie"),
+        (3, "boiler\n \nboiler"),      # all dedupable lines removed
+        (4, "unique only"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, "text", "doc_id").collect()}
+    assert len(out) == 5
+    # doc 1 holds the first occurrence of "boiler" — untouched
+    assert out[1]["clean_text"] == "alpha\nboiler\nbravo"
+    assert out[1]["n_removed"] == 0
+    # later occurrences removed everywhere else
+    assert out[2]["clean_text"] == "charlie"
+    assert out[2]["n_removed"] == 1
+    # whitespace-only line survives (never a dedup candidate); both
+    # "boiler" repeats go, doc keeps just the blank line
+    assert out[3]["clean_text"] == " "
+    assert out[3]["n_removed"] == 2
+    assert out[3]["n_lines"] == 3
+    assert out[4]["clean_text"] == "unique only"
+    assert out[5]["clean_text"] == ""
+    assert out[5]["n_lines"] == 1
+
+
+def test_line_dedup_min_count_and_normalization(spark):
+    from discoverx_spark.operators.dedup import line_dedup
+    import pytest as _pytest
+    rows = [(1, "x\ny"), (2, "  x \nz")]  # "x" repeats modulo trim
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in line_dedup(df, "text", "doc_id", min_count=2).collect()}
+    # trim-normalized comparison: "  x " is a repeat of "x", original
+    # (untrimmed) text is preserved for kept lines
+    assert out[1]["clean_text"] == "x\ny"
+    assert out[2]["clean_text"] == "z"
+    # min_count=3: pair no longer dense enough to dedup
+    out3 = {r["doc_id"]: r
+            for r in line_dedup(df, "text", "doc_id", min_count=3).collect()}
+    assert out3[2]["clean_text"] == "  x \nz"
+    with _pytest.raises(ValueError):
+        line_dedup(df, "text", "doc_id", min_count=1)
+
+
+def test_semantic_dedup_keeps_farthest_from_centroid(embeddings, spark):
+    from discoverx_spark.operators.similarity import semantic_dedup
+    df, base = embeddings
+    # plant an exact clone of vec 5 with a higher id
+    clone = df.filter(F.col("vec_id") == 5).select(
+        (F.col("vec_id") + 100).alias("vec_id"), "embedding")
+    both = df.unionByName(clone)
+    cents = df.filter(F.col("vec_id") < 4)
+    out = {r["id"]: r for r in
+           semantic_dedup(both, cents, threshold=0.999,
+                          max_cluster=None).collect()}
+    assert len(out) == 21                      # one row per input vector
+    # the exact clone pair: identical centroid_sim, so the SMALLER id wins
+    assert out[5]["keep"] is True
+    assert out[105]["keep"] is False
+    assert out[5]["centroid_id"] == out[105]["centroid_id"]
+    # untouched vectors all keep=True
+    assert all(r["keep"] for i, r in out.items() if i not in (105,))
