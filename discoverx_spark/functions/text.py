@@ -302,3 +302,72 @@ def toxicity_exprs(col, keywords: Optional[Sequence[str]] = None) -> tuple:
     hits = F.size(F.regexp_extract_all(F.lower(_c(col)), F.lit(pattern), 1))
     score = hits.cast("double") / F.greatest(token_count_expr(col), F.lit(1)).cast("double")
     return hits, score
+
+
+# --------------------------------------------------------------------------
+# fastText-style linear quality classifier (bag-of-words logistic scorer)
+# --------------------------------------------------------------------------
+
+# Fixed interpretable weight table standing in for a trained fastText /
+# DCLM-style quality classifier (the binary model is not shippable in this
+# environment — LIMITATIONS §1).  The OPERATOR SHAPE is the deliverable:
+# production swaps a real exported (term → weight) table in unchanged.
+QUALITY_CLF_BIAS = -0.3
+QUALITY_CLF_WEIGHTS = {
+    # positive evidence: fluent-English function words (same public
+    # inventory langid uses); calibrated so ordinary fluent prose
+    # (stopword density ~0.4+) crosses p=0.5 and keyword spam falls well
+    # below it
+    **{w: 0.8 for w in LANG_STOPWORDS["en"]},
+    # negative evidence: boilerplate / SEO-spam vocabulary
+    **{w: -1.5 for w in [
+        "click", "subscribe", "buy", "free", "discount", "casino",
+        "jackpot", "winner", "giveaway", "unsubscribe", "cookies",
+        "login", "password", "404",
+    ]},
+}
+
+
+def quality_classifier_expr(col, weights: Optional[dict] = None,
+                            bias: Optional[float] = None) -> Column:
+    """Logistic bag-of-words quality score in [0, 1] — pure JVM expression.
+
+    ``sigmoid(bias + mean(weight[token]))`` over whitespace tokens, OOV
+    weight 0 (but counted in the mean, like fastText's averaged bag).
+    The fold runs over the SORTED token array so the floating-point sum
+    is bit-reproducible across partitionings and matched by the DuckDB
+    oracle's ``list_sort`` fold.
+
+    Scale: the weight table is inlined as a literal map (constant-folded
+    once per plan) — right for vocabularies up to a few thousand terms.
+    Larger exported models should broadcast-join an exploded token frame
+    or ride the fused Arrow UDF instead of a million-entry literal."""
+    w = weights if weights is not None else QUALITY_CLF_WEIGHTS
+    b = QUALITY_CLF_BIAS if bias is None else bias
+    entries = []
+    for k in sorted(w):
+        entries += [F.lit(k), F.lit(float(w[k]))]
+    wmap = F.create_map(*entries)
+    toks = F.array_sort(F.regexp_extract_all(
+        F.lower(_c(col)), F.lit(r"(\S+)"), 1))
+    total = F.aggregate(
+        toks, F.lit(0.0),
+        lambda acc, t: acc + F.coalesce(F.element_at(wmap, t), F.lit(0.0)))
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    z = F.lit(float(b)) + total / n
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def quality_classifier_sql(text_sql: str, weights: Optional[dict] = None,
+                           bias: Optional[float] = None) -> str:
+    """DuckDB-oracle rendering of :func:`quality_classifier_expr` — same
+    tokenization, same sorted fold, same literal weights."""
+    w = weights if weights is not None else QUALITY_CLF_WEIGHTS
+    b = QUALITY_CLF_BIAS if bias is None else bias
+    case = "CASE t " + " ".join(
+        f"WHEN '{k}' THEN {float(w[k])!r}" for k in sorted(w)) + " ELSE 0.0 END"
+    toks = f"list_sort(regexp_extract_all(lower({text_sql}), '(\\S+)', 1))"
+    total = (f"list_reduce(list_prepend(0.0, list_transform({toks}, "
+             f"t -> {case})), (a, x) -> a + x)")
+    n = f"greatest(len({toks}), 1)"
+    return f"1.0 / (1.0 + exp(-({float(b)!r} + {total} / {n})))"

@@ -31,6 +31,7 @@ from pyspark.sql.window import Window
 
 from .functions.text import (bpe_token_estimate_expr, fingerprint_expr,
                              langid_sql_exprs, langid_struct_expr,
+                             quality_classifier_expr, quality_classifier_sql,
                              token_count_expr)
 from .operators.dedup import (lsh_candidate_pairs, minhash_signatures,
                               simhash_expr)
@@ -1273,6 +1274,26 @@ SELECT l.page,
        CAST(COUNT(r.pos) AS INTEGER) AS n_removed
 FROM lines l LEFT JOIN rm r ON l.page = r.page AND l.pos = r.pos
 GROUP BY l.page
+"""
+
+
+def q_quality_classifier_documents(spark, sf_dir):
+    """Model-based quality filter: fastText/DCLM-style logistic
+    bag-of-words classifier (fixed interpretable weight table standing in
+    for a trained export — see functions/text.py), scored entirely
+    JVM-side with a sorted deterministic fold."""
+    docs = _t(spark, sf_dir, "documents")
+    prob = F.round(quality_classifier_expr("text"), 6)
+    return (docs.select("doc_id", prob.alias("quality_prob"))
+            .withColumn("predicted_keep", F.col("quality_prob") >= 0.5))
+
+
+def _sql_quality_classifier() -> str:
+    expr = quality_classifier_sql("text")
+    return f"""
+SELECT doc_id, round({expr}, 6) AS quality_prob,
+       round({expr}, 6) >= 0.5 AS predicted_keep
+FROM documents
 """
 
 
@@ -2578,4 +2599,6 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "line_dedup_documents": (q_line_dedup_documents, SQL_LINE_DEDUP),
     "semantic_dedup_embeddings": (q_semantic_dedup_embeddings,
                                   _sql_semantic_dedup()),
+    "quality_classifier_documents": (q_quality_classifier_documents,
+                                     _sql_quality_classifier()),
 }

@@ -155,3 +155,30 @@ def test_compression_ratio_separates_repetition(spark):
     assert got[1] < 0.2          # heavy repetition compresses hard
     assert 0.4 < got[2] <= 1.1   # fluent prose does not
     assert got[3] == 1.0 and got[4] == 1.0
+
+
+def test_quality_classifier_matches_numpy(spark):
+    import math
+
+    from discoverx_spark.functions.text import (QUALITY_CLF_BIAS,
+                                                QUALITY_CLF_WEIGHTS,
+                                                quality_classifier_expr)
+    rows = [(1, "the cat and the dog are in this house"),
+            (2, "click here free casino jackpot winner"),
+            (3, ""),
+            (4, "Zzz qqq")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["p"] for r in df.select(
+        "doc_id",
+        F.round(quality_classifier_expr("text"), 6).alias("p")).collect()}
+
+    def ref(text):
+        toks = text.lower().split()
+        s = sum(QUALITY_CLF_WEIGHTS.get(t, 0.0) for t in toks)
+        z = QUALITY_CLF_BIAS + s / max(len(toks), 1)
+        return round(1.0 / (1.0 + math.exp(-z)), 6)
+
+    for i, text in rows:
+        assert abs(got[i] - ref(text)) < 1e-9, (i, got[i], ref(text))
+    # the classifier separates fluent English from keyword spam
+    assert got[1] > 0.5 > got[2]
