@@ -371,3 +371,68 @@ def quality_classifier_sql(text_sql: str, weights: Optional[dict] = None,
              f"t -> {case})), (a, x) -> a + x)")
     n = f"greatest(len({toks}), 1)"
     return f"1.0 / (1.0 + exp(-({float(b)!r} + {total} / {n})))"
+
+
+# --------------------------------------------------------------------------
+# HTML main-text extraction (trafilatura / jusText-lite boilerplate strip)
+# --------------------------------------------------------------------------
+
+_HTML_BLOCK_TAGS = ("p|div|br|li|h[1-6]|tr|td|table|ul|ol|header|footer|"
+                    "section|article|nav|blockquote")
+_HTML_ENTITIES = [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                  ("&quot;", "\""), ("&#39;", "'"), ("&nbsp;", " ")]
+
+
+def html_extract_expr(col, min_line_tokens: int = 4) -> Column:
+    """Main-text extraction from raw HTML — the web-crawl step before any
+    quality filtering (trafilatura's role, reduced to deterministic
+    regex + line heuristics so the whole thing stays JVM-side).
+
+    Drops ``<script>``/``<style>`` blocks and comments, turns block-level
+    tags into newlines and strips the rest, decodes the six common
+    entities, then keeps only lines with ``min_line_tokens``+ tokens —
+    the jusText-style short-line heuristic that removes nav menus,
+    cookie banners and footers.  Every pattern is RE2-compatible (no
+    backrefs/lookarounds) so the DuckDB oracle replays it verbatim.
+
+    Pure projection: zero shuffle, codegen-friendly, runs in the scan
+    stage at any corpus size."""
+    c = _c(col)
+    for tag in ("script", "style"):
+        c = F.regexp_replace(c, f"(?i)<{tag}[^>]*>[\\s\\S]*?</{tag}>", " ")
+    c = F.regexp_replace(c, r"<!--[\s\S]*?-->", " ")
+    c = F.regexp_replace(c, f"(?i)</?(?:{_HTML_BLOCK_TAGS})\\b[^>]*>", "\n")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        c = F.regexp_replace(c, ent, ch)
+    lines = F.split(c, "\n")
+    cleaned = F.transform(
+        lines, lambda x: F.trim(F.regexp_replace(x, r"[ \t]+", " ")))
+    kept = F.filter(
+        cleaned,
+        lambda x: F.size(F.regexp_extract_all(x, F.lit(r"(\S+)"), 1))
+        >= min_line_tokens)
+    return F.array_join(kept, "\n")
+
+
+def html_extract_sql(text_sql: str, min_line_tokens: int = 4) -> str:
+    """DuckDB rendering of :func:`html_extract_expr` — same patterns,
+    same line heuristic."""
+    c = text_sql
+    for tag in ("script", "style"):
+        c = (f"regexp_replace({c}, '(?i)<{tag}[^>]*>[\\s\\S]*?</{tag}>', "
+             f"' ', 'g')")
+    c = f"regexp_replace({c}, '<!--[\\s\\S]*?-->', ' ', 'g')"
+    c = (f"regexp_replace({c}, '(?i)</?(?:{_HTML_BLOCK_TAGS})\\b[^>]*>', "
+         f"chr(10), 'g')")
+    c = f"regexp_replace({c}, '<[^>]+>', ' ', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        c = f"replace({c}, '{ent}', '{lit}')"
+    lines = f"string_split({c}, chr(10))"
+    cleaned = (f"list_transform({lines}, "
+               f"x -> trim(regexp_replace(x, '[ \\t]+', ' ', 'g')))")
+    kept = (f"list_filter({cleaned}, "
+            f"x -> len(regexp_extract_all(x, '(\\S+)', 1)) "
+            f">= {min_line_tokens})")
+    return f"array_to_string({kept}, chr(10))"

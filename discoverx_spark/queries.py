@@ -1277,6 +1277,33 @@ GROUP BY l.page
 """
 
 
+_HTML_PRE = ('<html><head><title>Doc</title><style>.x{color:red}</style>'
+             '</head><body><nav>Home | About</nav><p>')
+_HTML_POST = ('</p><script>var t="</p>";track()</script>'
+              '<footer>&copy; 2026 Example</footer></body></html>')
+
+
+def q_html_extract_documents(spark, sf_dir):
+    """Main-text extraction from HTML: each doc is wrapped in a
+    deterministic page shell (nav menu, style/script blocks — the script
+    body even contains a decoy ``</p>`` — and a footer), and
+    :func:`html_extract_expr` must recover the article text while the
+    jusText-style short-line heuristic drops the boilerplate lines."""
+    from .functions.text import html_extract_expr
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+    return docs.select("doc_id", html_extract_expr(page).alias("main_text"))
+
+
+def _sql_html_extract() -> str:
+    from .functions.text import html_extract_sql
+    pre = _HTML_PRE.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    page = f"'{pre}' || text || '{post}'"
+    return (f"SELECT doc_id, {html_extract_sql(page)} AS main_text "
+            f"FROM documents")
+
+
 def q_quality_classifier_documents(spark, sf_dir):
     """Model-based quality filter: fastText/DCLM-style logistic
     bag-of-words classifier (fixed interpretable weight table standing in
@@ -2601,4 +2628,6 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
                                   _sql_semantic_dedup()),
     "quality_classifier_documents": (q_quality_classifier_documents,
                                      _sql_quality_classifier()),
+    "html_extract_documents": (q_html_extract_documents,
+                               _sql_html_extract()),
 }

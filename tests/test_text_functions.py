@@ -182,3 +182,20 @@ def test_quality_classifier_matches_numpy(spark):
         assert abs(got[i] - ref(text)) < 1e-9, (i, got[i], ref(text))
     # the classifier separates fluent English from keyword spam
     assert got[1] > 0.5 > got[2]
+
+
+def test_html_extract_strips_boilerplate(spark):
+    from discoverx_spark.functions.text import html_extract_expr
+    html = ('<html><head><style>p{}</style></head><body>'
+            '<nav>Home | About</nav>'
+            '<p>The quick brown fox &amp; the lazy dog.</p>'
+            '<script>var x = "</p> decoy";</script>'
+            '<ul><li>one two three four five</li><li>short</li></ul>'
+            '<footer>&copy; 2026</footer></body></html>')
+    df = spark.createDataFrame([(1, html)], "doc_id long, text string")
+    out = df.select(html_extract_expr("text").alias("t")).first()["t"]
+    # article line survives with the entity decoded; the script block
+    # (including its decoy close tag), nav, short list item and footer
+    # are all gone
+    assert out == ("The quick brown fox & the lazy dog.\n"
+                   "one two three four five")
