@@ -98,3 +98,37 @@ def split_train_holdout(df: DataFrame, key_col: str, holdout_fraction: float,
     cut = int(round(holdout_fraction * BUCKETS))
     b = _bucket_expr(key_col, hash_mode)
     return df.filter(b >= cut), df.filter(b < cut)
+
+
+def domain_blocklist_filter(df: DataFrame, text_col: str, id_col: str,
+                            blocklist: DataFrame,
+                            domain_col: str = "domain") -> DataFrame:
+    """Drop rows containing a URL whose host — or ANY parent domain of it
+    — appears in the blocklist (UT1-style domain filtering).
+
+    Suffix matching is done by EXPLODING each host into its domain
+    suffixes (``a.b.c.com`` → ``a.b.c.com``, ``b.c.com``, ``c.com``;
+    single-label suffixes like bare TLDs are excluded) and semi-joining
+    against the blocklist — so a blocklist entry blocks every subdomain
+    without per-row iteration over the list.  The blocklist side is
+    broadcast (UT1-class lists are a few MB); the corpus text never
+    shuffles — only ``(id, suffix)`` short rows feed the semi-join, and
+    the final drop is a left-anti join on ``id_col`` (the small bad-id
+    set broadcasts in turn under AQE).
+    """
+    hosts = df.select(
+        F.col(id_col), F.explode(F.regexp_extract_all(
+            F.col(text_col),
+            F.lit(r"https?://([A-Za-z0-9.-]+)"), 1)).alias("_bl_host"))
+    parts = F.split(F.lower(F.col("_bl_host")), r"\.")
+    sufs = F.transform(
+        parts,
+        lambda x, i: F.array_join(
+            F.slice(parts, i + 1, F.size(parts)), "."))
+    bad = (hosts.select(id_col, F.explode(sufs).alias("_bl_suf"))
+           .where(F.col("_bl_suf").contains("."))
+           .join(F.broadcast(blocklist.select(
+               F.lower(F.col(domain_col)).alias("_bl_suf"))), "_bl_suf",
+               "left_semi")
+           .select(id_col).distinct())
+    return df.join(bad, on=id_col, how="left_anti")

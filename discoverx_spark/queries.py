@@ -1277,6 +1277,54 @@ GROUP BY l.page
 """
 
 
+def q_domain_blocklist_documents(spark, sf_dir):
+    """UT1-style domain blocklist filtering with subdomain suffix match.
+
+    The sf documents carry no URLs, so each doc gets a deterministic one
+    appended (host ``sub{doc_id%7}.site{doc_id%13}.com``); the blocklist
+    blocks one registered domain (every subdomain of ``site3.com``) and
+    one exact host, and the query returns the surviving doc ids."""
+    from .operators.sampling import domain_blocklist_filter
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" see https://sub"),
+                 (F.col("doc_id") % 7).cast("string"), F.lit(".site"),
+                 (F.col("doc_id") % 13).cast("string"),
+                 F.lit(".com/page")).alias("text"))
+    bl = spark.createDataFrame(
+        [("site3.com",), ("SUB2.site5.com",), ("badsite.org",)],
+        "domain string")
+    return domain_blocklist_filter(aug, "text", "doc_id", bl) \
+        .select("doc_id")
+
+
+SQL_DOMAIN_BLOCKLIST = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' see https://sub' || (doc_id % 7) || '.site'
+              || (doc_id % 13) || '.com/page' AS text
+  FROM documents),
+hosts AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1))
+           AS host
+  FROM aug),
+sufs AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(1, len(string_split(lower(host), '.')) + 1),
+             i -> array_to_string(string_split(lower(host), '.')[i:], '.')))
+           AS suf
+  FROM hosts),
+bad AS (
+  SELECT DISTINCT doc_id FROM sufs
+  WHERE contains(suf, '.')
+    AND suf IN ('site3.com', 'sub2.site5.com', 'badsite.org'))
+SELECT doc_id FROM aug WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
 _HTML_PRE = ('<html><head><title>Doc</title><style>.x{color:red}</style>'
              '</head><body><nav>Home | About</nav><p>')
 _HTML_POST = ('</p><script>var t="</p>";track()</script>'
@@ -2630,4 +2678,6 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
                                      _sql_quality_classifier()),
     "html_extract_documents": (q_html_extract_documents,
                                _sql_html_extract()),
+    "domain_blocklist_documents": (q_domain_blocklist_documents,
+                                   SQL_DOMAIN_BLOCKLIST),
 }

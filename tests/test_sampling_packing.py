@@ -145,3 +145,20 @@ def test_sampling_pushdown_reaches_scan(spark):
     plan = hash_sample(docs, "doc_id", 0.25) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_domain_blocklist_suffix_matching(spark):
+    from discoverx_spark.operators.sampling import domain_blocklist_filter
+    rows = [
+        (1, "read https://news.example.com/a"),        # subdomain of blocked
+        (2, "read https://example.com/b"),             # blocked exactly
+        (3, "read https://example.com.evil.net/c"),    # NOT a suffix match
+        (4, "read https://safe.org/d and https://Example.COM/e"),  # any hit
+        (5, "no urls at all"),
+        (6, "read https://other.net/f"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    kept = sorted(r["doc_id"] for r in
+                  domain_blocklist_filter(df, "text", "doc_id", bl).collect())
+    assert kept == [3, 5, 6]
