@@ -1243,7 +1243,12 @@ def q_line_dedup_documents(spark, sf_dir):
                      F.array_sort(F.collect_list(F.struct("ord", "text"))),
                      lambda s: s["text"]),
                  "\n").alias("text")))
-    return line_dedup(pages, "text", "page", hash_mode="md5")
+    # line_dedup references its input twice (line explode + doc rebuild);
+    # a TABLE input just re-scans, but this derived frame would re-run
+    # its groupBy per reference — materialize once (sparse_neardup
+    # precedent)
+    return line_dedup(pages.localCheckpoint(eager=True),
+                      "text", "page", hash_mode="md5")
 
 
 SQL_LINE_DEDUP = r"""
