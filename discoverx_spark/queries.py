@@ -1282,6 +1282,33 @@ GROUP BY l.page
 """
 
 
+def q_length_quantiles_documents(spark, sf_dir):
+    """Exact per-source document-length quantiles (p50/p90/p99) — the
+    length-distribution stat every corpus-curation report starts with.
+    Spark's exact ``percentile`` (linear interpolation) is definitionally
+    identical to DuckDB's ``quantile_cont``.  Exact quantiles shuffle the
+    (source, length) pairs only — lengths are computed in the scan
+    stage, never the text; at 10^12 rows swap in ``approx_percentile``
+    (t-digest sketch, mergeable map-side) for the same output schema."""
+    docs = _t(spark, sf_dir, "documents")
+    lon = F.length("text").cast("double")
+    return (docs.groupBy("source")
+            .agg(*[F.round(F.percentile(lon, F.lit(q)), 6)
+                   .alias(f"p{int(q * 100)}")
+                   for q in (0.5, 0.9, 0.99)],
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
+SQL_LENGTH_QUANTILES = r"""
+SELECT source,
+       round(quantile_cont(CAST(length(text) AS DOUBLE), 0.5), 6) AS p50,
+       round(quantile_cont(CAST(length(text) AS DOUBLE), 0.9), 6) AS p90,
+       round(quantile_cont(CAST(length(text) AS DOUBLE), 0.99), 6) AS p99,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
 def q_domain_blocklist_documents(spark, sf_dir):
     """UT1-style domain blocklist filtering with subdomain suffix match.
 
@@ -2685,4 +2712,6 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
                                _sql_html_extract()),
     "domain_blocklist_documents": (q_domain_blocklist_documents,
                                    SQL_DOMAIN_BLOCKLIST),
+    "length_quantiles_documents": (q_length_quantiles_documents,
+                                   SQL_LENGTH_QUANTILES),
 }
