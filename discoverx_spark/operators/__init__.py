@@ -1,7 +1,7 @@
 from .convagg import (conversation_stats, conversation_fingerprints,
                       with_conversation_stats, role_alternation_violations,
                       dedup_conversations, conversation_minhash_signatures,
-                      conversation_near_duplicates)
+                      conversation_near_duplicates, conversation_gates)
 from .dedup import (tokens_expr, shingles_expr, exact_duplicates, dedup_exact,
                     minhash_signatures, minhash_signature_exprs,
                     minhash_struct_expr,
@@ -22,7 +22,7 @@ from .similarity import (dot_expr, norm_expr, cosine_expr, brute_force_topk,
 __all__ = [
     "conversation_stats", "conversation_fingerprints",
     "with_conversation_stats", "role_alternation_violations",
-    "dedup_conversations", "lsh_near_duplicates",
+    "dedup_conversations", "lsh_near_duplicates", "conversation_gates",
     "conversation_minhash_signatures", "conversation_near_duplicates",
     "tokens_expr", "shingles_expr", "exact_duplicates", "dedup_exact",
     "minhash_signatures", "minhash_signature_exprs", "minhash_struct_expr",

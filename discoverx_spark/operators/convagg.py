@@ -215,3 +215,54 @@ def role_alternation_violations(turns: DataFrame) -> DataFrame:
                 & (F.col("_prev_role") == F.col("role")))
         .select("conv_id", "turn_idx", "role")
     )
+
+
+def conversation_gates(turns: DataFrame, min_turns: int = 2,
+                       max_turns: int = 512,
+                       max_toxic_frac: float = 0.25,
+                       max_pii_frac: float = 0.5,
+                       max_alternation_violations: int = 0) -> DataFrame:
+    """Conversation-level keep/drop: a whole conversation is dropped when
+    too many of its turns fail (the step after per-turn filtering in every
+    transcript-curation pipeline — per-turn drops alone leave gutted
+    conversations in the corpus).
+
+    Per-turn signals are pure JVM projections: toxicity (keyword regex),
+    PII presence (``scrub_text_expr(text) != text`` — the same canonical
+    scrub chain the pipeline uses, so "has PII" means "the scrubber would
+    change it"), and role-alternation violations (same lag-window
+    semantics as :func:`role_alternation_violations`).  The violation
+    window and the aggregation share the ``conv_id`` hash partitioning,
+    so the whole operator costs ONE shuffle of short flag rows.
+
+    Returns ``(conv_id, n_turns, toxic_frac, pii_frac,
+    n_alternation_violations, keep_conversation)``.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import toxicity_exprs
+    from ..scrub import scrub_text_expr
+
+    tox_hits, _ = toxicity_exprs("text")
+    flags = turns.select(
+        "conv_id", "turn_idx", "role",
+        (tox_hits > 0).cast("long").alias("is_toxic"),
+        (scrub_text_expr("text") != F.col("text"))
+        .cast("long").alias("has_pii"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    per = flags.withColumn(
+        "is_viol",
+        (F.lag("role").over(w).isNotNull()
+         & (F.lag("role").over(w) == F.col("role"))).cast("long"))
+    agg = per.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.round(F.sum("is_toxic") / F.count(F.lit(1)), 6).alias("toxic_frac"),
+        F.round(F.sum("has_pii") / F.count(F.lit(1)), 6).alias("pii_frac"),
+        F.sum("is_viol").alias("n_alternation_violations"))
+    keep = ((F.col("n_turns") >= min_turns)
+            & (F.col("n_turns") <= max_turns)
+            & (F.col("toxic_frac") <= max_toxic_frac)
+            & (F.col("pii_frac") <= max_pii_frac)
+            & (F.col("n_alternation_violations")
+               <= max_alternation_violations))
+    return agg.withColumn("keep_conversation", keep)

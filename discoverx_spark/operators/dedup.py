@@ -691,12 +691,21 @@ def line_dedup(df: DataFrame, text_col: str, id_col: str,
                 .groupBy("_ld_id")
                 .agg(F.collect_list("pos").alias("_ld_rm")))
     rm = F.coalesce(F.col("_ld_rm"), F.array().cast("array<int>"))
+    # removed-position lookup as a per-row hash map: array_contains inside
+    # the filter would be O(lines × removals) on boilerplate-heavy docs.
+    # The map is materialized as a COLUMN first — referencing it from the
+    # lambda as an attribute is safe; an inline map expression would be
+    # re-built per element by Catalyst's lambda inlining.
+    out = (df.join(removals, df[id_col] == removals["_ld_id"], "left")
+           .withColumn("_ld_rm_map", F.map_from_arrays(
+               rm, F.transform(rm, lambda _: F.lit(True)))))
     clean = F.array_join(
-        F.filter(parts, lambda x, i: ~F.array_contains(rm, i)), "\n")
-    out = df.join(removals,
-                  df[id_col] == removals["_ld_id"], "left")
+        F.filter(parts,
+                 lambda x, i: F.try_element_at(F.col("_ld_rm_map"),
+                                               i).isNull()),
+        "\n")
     return out.select(
         F.col(id_col),
         clean.alias("clean_text"),
         F.size(parts).alias("n_lines"),
-        F.size(rm).alias("n_removed"))
+        F.size(F.map_keys("_ld_rm_map")).alias("n_removed"))

@@ -2393,6 +2393,59 @@ def _sql_scan_transcripts() -> str:
             f"AS v(conv_id, role, text))\n" + "\nUNION ALL\n".join(arms))
 
 
+_CG_CONVS = 80
+
+
+def q_conversation_gates(spark, sf_dir):
+    """Conversation-level keep/drop over generated transcripts: drop a
+    whole conversation when too many turns are toxic / carry PII, when
+    the turn count is out of range, or when role alternation breaks."""
+    from .operators.convagg import conversation_gates
+    from .transcripts import generate_transcripts
+    turns = generate_transcripts(spark, _CG_CONVS, seed=42)
+    return conversation_gates(turns)
+
+
+def _sql_conversation_gates() -> str:
+    from .functions.text import TOXIC_KEYWORDS
+    from .scrub import scrub_sql_exprs
+    from .transcripts import generate_transcripts_pandas
+
+    pdf = generate_transcripts_pandas(_CG_CONVS, seed=42)
+    rows = ",\n".join(
+        f"({_sql_lit(c)}, {_sql_lit(int(i))}, {_sql_lit(r)}, {_sql_lit(t)})"
+        for c, i, r, t in zip(pdf["conv_id"], pdf["turn_idx"],
+                              pdf["role"], pdf["text"]))
+    tox = (r"(\b(?:"
+           + "|".join(k.replace(" ", r"\s+") for k in TOXIC_KEYWORDS)
+           + r")\b)").replace("'", "''")
+    scrub = scrub_sql_exprs("text")
+    lagr = "lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)"
+    return f"""
+WITH t AS (SELECT * FROM (VALUES
+{rows}
+) AS v(conv_id, turn_idx, role, text)),
+per AS (
+  SELECT conv_id,
+         CAST(len(regexp_extract_all(lower(text), '{tox}', 1)) > 0 AS BIGINT)
+           AS is_toxic,
+         CAST({scrub} <> text AS BIGINT) AS has_pii,
+         CAST({lagr} IS NOT NULL AND {lagr} = role AS BIGINT) AS is_viol
+  FROM t),
+agg AS (
+  SELECT conv_id, COUNT(*) AS n_turns,
+         round(CAST(SUM(is_toxic) AS DOUBLE) / COUNT(*), 6) AS toxic_frac,
+         round(CAST(SUM(has_pii) AS DOUBLE) / COUNT(*), 6) AS pii_frac,
+         CAST(SUM(is_viol) AS BIGINT) AS n_alternation_violations
+  FROM per GROUP BY conv_id)
+SELECT conv_id, n_turns, toxic_frac, pii_frac, n_alternation_violations,
+       (n_turns >= 2 AND n_turns <= 512 AND toxic_frac <= 0.25
+        AND pii_frac <= 0.5 AND n_alternation_violations <= 0)
+         AS keep_conversation
+FROM agg
+"""
+
+
 def q_quality_scores_documents(spark, sf_dir):
     """Full quality-ratio profile per document (alpha/digit/punct ratios,
     whitespace-only flag) — the remaining functions/text.py ratio family
@@ -2714,4 +2767,6 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
                                    SQL_DOMAIN_BLOCKLIST),
     "length_quantiles_documents": (q_length_quantiles_documents,
                                    SQL_LENGTH_QUANTILES),
+    "conversation_gates": (q_conversation_gates,
+                           _sql_conversation_gates()),
 }

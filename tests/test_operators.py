@@ -289,3 +289,37 @@ def test_semantic_dedup_keeps_farthest_from_centroid(embeddings, spark):
     assert out[5]["centroid_id"] == out[105]["centroid_id"]
     # untouched vectors all keep=True
     assert all(r["keep"] for i, r in out.items() if i not in (105,))
+
+
+def test_conversation_gates(spark):
+    from discoverx_spark.operators.convagg import conversation_gates
+    import datetime
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        # clean conversation
+        ("a", 0, "user", "hello there", None, ts),
+        ("a", 1, "assistant", "hi, how can I help", None, ts),
+        # single-turn (too short)
+        ("b", 0, "user", "alone", None, ts),
+        # toxic majority
+        ("c", 0, "user", "you idiot", None, ts),
+        ("c", 1, "assistant", "please be kind", None, ts),
+        # alternation violation
+        ("d", 0, "user", "one", None, ts),
+        ("d", 1, "user", "two", None, ts),
+        # PII on every turn
+        ("e", 0, "user", "mail me at a@b.com", None, ts),
+        ("e", 1, "assistant", "sent to a@b.com", None, ts),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    out = {r["conv_id"]: r for r in conversation_gates(df).collect()}
+    assert out["a"]["keep_conversation"] is True
+    assert out["b"]["keep_conversation"] is False          # < min_turns
+    assert out["c"]["keep_conversation"] is False          # toxic_frac 0.5
+    assert out["c"]["toxic_frac"] == 0.5
+    assert out["d"]["keep_conversation"] is False          # alternation
+    assert out["d"]["n_alternation_violations"] == 1
+    assert out["e"]["keep_conversation"] is False          # pii_frac 1.0
+    assert out["e"]["pii_frac"] == 1.0
