@@ -13,7 +13,8 @@ from .packing import pack_sequences, token_counts, top_tokens
 from .retrieval import (bm25_topk, doc_lengths, sparse_near_duplicates,
                         term_frequencies, tfidf_weights)
 from .sampling import (cap_per_group, domain_blocklist_filter, hash_sample,
-                       split_train_holdout, stratified_hash_sample)
+                       mixing_rates, split_train_holdout,
+                       stratified_hash_sample)
 from .similarity import (dot_expr, norm_expr, cosine_expr, brute_force_topk,
                          embedding_near_duplicates, lsh_topk, ivf_train, ivf_assign,
                          ivf_topk, lsh_near_duplicates,
@@ -36,6 +37,7 @@ __all__ = [
     "hash_sample", "stratified_hash_sample", "split_train_holdout",
     "cap_per_group", "incremental_lsh_pairs", "contamination_check",
     "line_dedup", "semantic_dedup", "domain_blocklist_filter",
+    "mixing_rates",
     "bm25_topk", "term_frequencies", "doc_lengths",
     "tfidf_weights", "sparse_near_duplicates",
 ]

@@ -132,3 +132,41 @@ def domain_blocklist_filter(df: DataFrame, text_col: str, id_col: str,
                "left_semi")
            .select(id_col).distinct())
     return df.join(bad, on=id_col, how="left_anti")
+
+
+def mixing_rates(df: DataFrame, group_col: str,
+                 target_shares: Dict[str, float],
+                 weight: Optional[Column] = None) -> DataFrame:
+    """Per-domain sampling rates that realize a target training mix
+    WITHOUT upsampling (the solver that feeds
+    :func:`stratified_hash_sample`: DoReMi/Pile-style domain weights in,
+    keep-fractions out).
+
+    Feasible budget ``T = min_d(units_d / share_d)`` — the binding domain
+    samples at rate 1.0, every other domain at
+    ``share_d * T / units_d < 1``, so the sampled corpus matches the
+    target proportions exactly at the largest size that needs no
+    duplication.  ``weight`` defaults to row count; pass
+    ``token_count_expr(text)`` to mix by tokens.
+
+    Scale shape: one groupBy of (domain, weight) partial sums; the target
+    table and the 1-row feasible-budget aggregate are both broadcast.
+    Domains absent from ``target_shares`` are excluded (rate 0 by
+    omission).  Returns
+    ``(group, n_units, target_share, rate, sampled_units)``.
+    """
+    w = weight if weight is not None else F.lit(1)
+    total = float(sum(target_shares.values()))
+    tgt = df.sparkSession.createDataFrame(
+        [(k, v / total) for k, v in sorted(target_shares.items())],
+        f"{group_col} string, target_share double")
+    stats = (df.groupBy(group_col)
+             .agg(F.sum(w).cast("long").alias("n_units")))
+    j = stats.join(F.broadcast(tgt), group_col, "inner")
+    tmin = j.agg(F.min(F.col("n_units") / F.col("target_share")).alias("_t"))
+    return (j.crossJoin(F.broadcast(tmin))
+            .select(group_col, "n_units", "target_share",
+                    F.round(F.col("target_share") * F.col("_t")
+                            / F.col("n_units"), 6).alias("rate"),
+                    F.round(F.col("target_share") * F.col("_t"), 6)
+                    .alias("sampled_units")))

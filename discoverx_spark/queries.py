@@ -2393,6 +2393,40 @@ def _sql_scan_transcripts() -> str:
             f"AS v(conv_id, role, text))\n" + "\nUNION ALL\n".join(arms))
 
 
+_MIX_SHARES = {"src0": 0.3, "src1": 0.3, "src2": 0.2, "src3": 0.2}
+
+
+def q_mixing_rates_documents(spark, sf_dir):
+    """Training-mix solver: per-source sampling rates (by token count)
+    that realize the target domain shares without upsampling — the
+    binding domain keeps rate 1.0."""
+    from .operators.sampling import mixing_rates
+    docs = _t(spark, sf_dir, "documents")
+    return mixing_rates(docs, "source", _MIX_SHARES,
+                        weight=token_count_expr("text"))
+
+
+def _sql_mixing_rates() -> str:
+    total = sum(_MIX_SHARES.values())
+    vals = ", ".join(f"({_sql_lit(k)}, {_sql_lit(v / total)})"
+                     for k, v in sorted(_MIX_SHARES.items()))
+    return rf"""
+WITH tgt(source, target_share) AS (VALUES {vals}),
+stats AS (
+  SELECT source,
+         CAST(SUM(len(regexp_extract_all(text, '(\S+)', 1))) AS BIGINT)
+           AS n_units
+  FROM documents GROUP BY source),
+j AS (SELECT s.source, s.n_units, tgt.target_share
+      FROM stats s JOIN tgt USING (source)),
+t AS (SELECT MIN(n_units / target_share) AS _t FROM j)
+SELECT source, n_units, target_share,
+       round(target_share * _t / n_units, 6) AS rate,
+       round(target_share * _t, 6) AS sampled_units
+FROM j, t
+"""
+
+
 _CG_CONVS = 80
 
 
@@ -2769,4 +2803,6 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
                                    SQL_LENGTH_QUANTILES),
     "conversation_gates": (q_conversation_gates,
                            _sql_conversation_gates()),
+    "mixing_rates_documents": (q_mixing_rates_documents,
+                               _sql_mixing_rates()),
 }

@@ -162,3 +162,24 @@ def test_domain_blocklist_suffix_matching(spark):
     kept = sorted(r["doc_id"] for r in
                   domain_blocklist_filter(df, "text", "doc_id", bl).collect())
     assert kept == [3, 5, 6]
+
+
+def test_mixing_rates_binding_domain(spark):
+    from discoverx_spark.operators.sampling import mixing_rates
+    rows = ([("web", i) for i in range(100)]
+            + [("code", i) for i in range(20)]
+            + [("books", i) for i in range(30)]
+            + [("ignored", i) for i in range(5)])
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    out = {r["source"]: r for r in
+           mixing_rates(df, "source",
+                        {"web": 0.5, "code": 0.25, "books": 0.25}).collect()}
+    # code is binding: 20/0.25 = 80 total budget
+    assert out["code"]["rate"] == 1.0
+    assert out["web"]["rate"] == 0.4          # 0.5*80/100
+    assert out["books"]["rate"] == round(20 / 30, 6)
+    assert "ignored" not in out
+    # realized mix matches the target shares exactly
+    assert out["web"]["sampled_units"] == 40.0
+    assert out["code"]["sampled_units"] == 20.0
+    assert out["books"]["sampled_units"] == 20.0
