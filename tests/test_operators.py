@@ -323,3 +323,61 @@ def test_conversation_gates(spark):
     assert out["d"]["n_alternation_violations"] == 1
     assert out["e"]["keep_conversation"] is False          # pii_frac 1.0
     assert out["e"]["pii_frac"] == 1.0
+
+
+def test_line_dedup_randomized_invariants(spark):
+    import random
+    from collections import Counter
+
+    from discoverx_spark.operators.dedup import line_dedup
+    rng = random.Random(7)
+    vocab = [f"line number {i}" for i in range(30)]
+    rows = [(d, "\n".join(rng.choice(vocab)
+                          for _ in range(rng.randint(1, 12))))
+            for d in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in line_dedup(df, "text", "doc_id").collect()}
+
+    orig = Counter()
+    first_doc = {}
+    for d, t in rows:
+        for line in t.split("\n"):
+            orig[line] += 1
+            first_doc.setdefault(line, d)
+    kept = Counter()
+    for d, t in rows:
+        r = out[d]
+        n_lines = len(t.split("\n"))
+        assert r["n_lines"] == n_lines
+        kept_lines = r["clean_text"].split("\n") if r["clean_text"] else []
+        assert r["n_removed"] == n_lines - len(kept_lines)
+        kept.update(kept_lines)
+    for line, c in orig.items():
+        # a repeated line survives exactly once (at its first occurrence);
+        # unique lines are untouched
+        assert kept[line] == (1 if c >= 2 else c), line
+        if c >= 2:
+            assert line in out[first_doc[line]]["clean_text"].split("\n")
+
+
+def test_semantic_dedup_clique_survivor(spark):
+    from discoverx_spark.operators.similarity import semantic_dedup
+    rng = np.random.RandomState(3)
+    base = rng.randn(15, 6)
+    for j in (1, 2):                       # clique {0,1,2}
+        base[j] = base[0] + 1e-4 * rng.randn(6)
+    base[6] = base[5] + 1e-4 * rng.randn(6)   # clique {5,6}
+    rows = [(i, [float(x) for x in base[i]]) for i in range(15)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["id"]: r for r in
+           semantic_dedup(df, df.filter(F.col("vec_id").isin(0, 5, 9, 12)),
+                          threshold=0.999, max_cluster=None).collect()}
+    assert len(out) == 15                  # one row per vector, always
+    for clique in ({0, 1, 2}, {5, 6}):
+        kept = [i for i in clique if out[i]["keep"]]
+        # exactly one survivor per near-identical clique
+        assert len(kept) == 1, (clique, kept)
+    # vectors with no near-duplicate all survive
+    for i in set(range(15)) - {0, 1, 2, 5, 6}:
+        assert out[i]["keep"], i
