@@ -195,3 +195,28 @@ def test_ivf_assign_broadcasts_centroids(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_partitioned_corpus_prunes_cells(spark, tmp_path):
+    """The IVF scale path: corpus written partitioned by centroid_id, a
+    probe of K cells must PRUNE the unprobed partitions at the source
+    (PartitionFilters on the scan) — the property that turns a
+    10^9-vector search into a K-cell read."""
+    from discoverx_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8)
+    path = str(tmp_path / "ivf_corpus")
+    (emb.join(ivf_assign(emb, cents).withColumnRenamed("id", "vec_id"),
+              "vec_id")
+     .write.partitionBy("centroid_id").mode("overwrite").parquet(path))
+
+    corpus = spark.read.parquet(path)
+    probed = corpus.filter(F.col("centroid_id").isin(2, 5))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in \
+        plan.split("PartitionFilters")[1][:120]
+    # the pruned read really only touches the two probed cells
+    assert probed.select("centroid_id").distinct().count() == 2
+    n_cells = corpus.select("centroid_id").distinct().count()
+    assert n_cells > 2   # pruning actually skipped partitions
