@@ -255,3 +255,19 @@ def test_sparse_neardup_df_cap_prunes_mega_postings(spark, hot_docs):
     # entire vocabulary was pruned at the cap. (The 50 'unique document
     # number N' docs at 1M+ legitimately pair: they share low-df terms.)
     assert not any(a < 1_000_000 or b < 1_000_000 for a, b in out)
+
+
+def test_line_dedup_hot_boilerplate_line(spark):
+    """One line shared by EVERY doc (cookie-banner shape): the removal
+    set stays linear in corpus size (one removal per doc, not a pair
+    blowup) and exactly the first occurrence survives."""
+    from discoverx_spark.operators.dedup import line_dedup
+    n = 3000
+    rows = [(i, f"unique line {i}\nAccept all cookies") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(8)
+    out = line_dedup(df, "text", "doc_id")
+    removed_total = out.agg(F.sum("n_removed")).first()[0]
+    assert removed_total == n - 1
+    keeper = out.filter(F.col("clean_text").contains("cookies")).collect()
+    assert [r["doc_id"] for r in keeper] == [0]
