@@ -217,6 +217,23 @@ def role_alternation_violations(turns: DataFrame) -> DataFrame:
     )
 
 
+def conversation_turn_flags(turns: DataFrame) -> DataFrame:
+    """Per-turn gate signals as one JVM projection:
+    ``(conv_id, turn_idx, role, is_toxic, has_pii)``.  Shared by the
+    batch :func:`conversation_gates` and the streaming variant so both
+    evaluate IDENTICAL flag semantics (batch/stream parity is asserted
+    in tests)."""
+    from ..functions.text import toxicity_exprs
+    from ..scrub import scrub_text_expr
+
+    tox_hits, _ = toxicity_exprs("text")
+    return turns.select(
+        "conv_id", "turn_idx", "role",
+        (tox_hits > 0).cast("long").alias("is_toxic"),
+        (scrub_text_expr("text") != F.col("text"))
+        .cast("long").alias("has_pii"))
+
+
 def conversation_gates(turns: DataFrame, min_turns: int = 2,
                        max_turns: int = 512,
                        max_toxic_frac: float = 0.25,
@@ -240,15 +257,7 @@ def conversation_gates(turns: DataFrame, min_turns: int = 2,
     """
     from pyspark.sql.window import Window
 
-    from ..functions.text import toxicity_exprs
-    from ..scrub import scrub_text_expr
-
-    tox_hits, _ = toxicity_exprs("text")
-    flags = turns.select(
-        "conv_id", "turn_idx", "role",
-        (tox_hits > 0).cast("long").alias("is_toxic"),
-        (scrub_text_expr("text") != F.col("text"))
-        .cast("long").alias("has_pii"))
+    flags = conversation_turn_flags(turns)
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     per = flags.withColumn(
         "is_viol",

@@ -150,3 +150,76 @@ def conversation_state_stream(decisions_stream: DataFrame) -> DataFrame:
                 stateStructType=_CONV_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+_GATE_STATE_SCHEMA = T.StructType([
+    T.StructField("n_turns", T.LongType()),
+    T.StructField("n_toxic", T.LongType()),
+    T.StructField("n_pii", T.LongType()),
+    T.StructField("n_viol", T.LongType()),
+    T.StructField("last_idx", T.LongType()),
+    T.StructField("last_role", T.StringType()),
+])
+_GATE_OUT_SCHEMA = ("conv_id string, n_turns long, toxic_frac double, "
+                    "pii_frac double, n_alternation_violations long, "
+                    "keep_conversation boolean")
+
+
+def conversation_gates_stream(turns_stream: DataFrame, min_turns: int = 2,
+                              max_turns: int = 512,
+                              max_toxic_frac: float = 0.25,
+                              max_pii_frac: float = 0.5,
+                              max_alternation_violations: int = 0) -> DataFrame:
+    """Streaming conversation-level gates: the running keep/drop verdict
+    per conversation as its turns arrive (the ingest-side twin of the
+    batch ``conversation_gates`` — same thresholds, same flag semantics
+    via the shared ``conversation_turn_flags`` projection).
+
+    The per-turn flags are computed JVM-side BEFORE the stateful stage,
+    so the Python state update only counts; state is six scalars per
+    live conversation.  Alternation is checked over turns sorted by
+    ``turn_idx`` within each update plus the stored boundary
+    ``(last_idx, last_role)`` — exact whenever a conversation's turns
+    arrive in order across triggers (and always exact for a conversation
+    contained in one trigger, which the batch-parity test exercises)."""
+    import pandas as pd
+
+    from ..operators.convagg import conversation_turn_flags
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n_turns, n_toxic, n_pii, n_viol, last_idx, last_role = state.get
+        else:
+            n_turns, n_toxic, n_pii, n_viol, last_idx, last_role = \
+                0, 0, 0, 0, None, None
+        for pdf in pdfs:
+            pdf = pdf.sort_values("turn_idx")
+            for _, row in pdf.iterrows():
+                n_turns += 1
+                n_toxic += int(row["is_toxic"] or 0)
+                n_pii += int(row["has_pii"] or 0)
+                if last_role is not None and row["role"] == last_role:
+                    n_viol += 1
+                last_idx, last_role = int(row["turn_idx"]), row["role"]
+        state.update((n_turns, n_toxic, n_pii, n_viol,
+                      last_idx if last_idx is not None else -1,
+                      last_role if last_role is not None else ""))
+        toxic_frac = round(n_toxic / max(n_turns, 1), 6)
+        pii_frac = round(n_pii / max(n_turns, 1), 6)
+        keep = (min_turns <= n_turns <= max_turns
+                and toxic_frac <= max_toxic_frac
+                and pii_frac <= max_pii_frac
+                and n_viol <= max_alternation_violations)
+        yield pd.DataFrame({
+            "conv_id": [key[0]], "n_turns": [n_turns],
+            "toxic_frac": [toxic_frac], "pii_frac": [pii_frac],
+            "n_alternation_violations": [n_viol],
+            "keep_conversation": [keep]})
+
+    return (conversation_turn_flags(turns_stream)
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                update, outputStructType=_GATE_OUT_SCHEMA,
+                stateStructType=_GATE_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -144,3 +144,27 @@ def test_hash_sample_on_stream_matches_batch(spark, input_dir, tmp_path):
                                    "conv_id", "role",
                                    {"user": 1.0, "assistant": 0.3}).collect()}
     assert got == want and len(got) > 0
+
+
+def test_conversation_gates_stream_matches_batch(spark, input_dir, tmp_path):
+    from discoverx_spark.operators.convagg import conversation_gates
+    from discoverx_spark.streaming.pipeline_stream import \
+        conversation_gates_stream
+
+    stream = read_transcripts_stream(spark, input_dir)
+    q = (conversation_gates_stream(stream)
+         .writeStream.format("memory").queryName("convgates")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["conv_id"]: (r["n_turns"], r["toxic_frac"], r["pii_frac"],
+                          r["n_alternation_violations"],
+                          r["keep_conversation"])
+           for r in spark.sql("SELECT * FROM convgates").collect()}
+    exp = {r["conv_id"]: (r["n_turns"], r["toxic_frac"], r["pii_frac"],
+                          r["n_alternation_violations"],
+                          r["keep_conversation"])
+           for r in conversation_gates(
+               spark.read.parquet(input_dir)).collect()}
+    assert set(got) == set(exp)
+    for conv in exp:
+        assert got[conv] == exp[conv], conv
