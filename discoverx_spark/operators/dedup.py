@@ -709,3 +709,31 @@ def line_dedup(df: DataFrame, text_col: str, id_col: str,
         clean.alias("clean_text"),
         F.size(parts).alias("n_lines"),
         F.size(F.map_keys("_ld_rm_map")).alias("n_removed"))
+
+
+def incremental_exact_dedup(batch: DataFrame, index_fps: DataFrame,
+                            text_col: str, id_col: str,
+                            fp_col: str = "fingerprint") -> DataFrame:
+    """Exact dedup of a NEW batch against an existing fingerprint index —
+    the daily-crawl update path (the exact-hash twin of
+    :func:`incremental_lsh_pairs`): rows whose normalized-text
+    fingerprint is already indexed are dropped, and within the batch each
+    novel fingerprint keeps its min-id representative.
+
+    Returns the surviving batch rows (full schema).  Shuffle carries only
+    ``(fingerprint, id)`` pairs; the index side of the anti-join prunes
+    to its fingerprint column (never re-reads indexed text), and at
+    production scale both sides bucket by fingerprint so the join is
+    co-located.  Index maintenance is an append of the survivors'
+    fingerprints — no rewrite."""
+    from ..functions.text import fingerprint_expr
+
+    fps = batch.select(F.col(id_col).alias("_ie_id"),
+                       fingerprint_expr(text_col).alias("_ie_fp"))
+    fresh = fps.join(
+        index_fps.select(F.col(fp_col).alias("_ie_fp")), "_ie_fp",
+        "left_anti")
+    keep = (fresh.groupBy("_ie_fp")
+            .agg(F.min("_ie_id").alias("_ie_keep_id"))
+            .select(F.col("_ie_keep_id").alias(id_col)))
+    return batch.join(keep, id_col, "left_semi")

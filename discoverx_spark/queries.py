@@ -2393,6 +2393,37 @@ def _sql_scan_transcripts() -> str:
             f"AS v(conv_id, role, text))\n" + "\nUNION ALL\n".join(arms))
 
 
+def q_incremental_exact_dedup(spark, sf_dir):
+    """Daily-crawl update path: dedup a new batch (docs 250+ plus planted
+    clones) against an existing fingerprint index (docs < 300) — already-
+    indexed content drops, novel fingerprints keep min-id survivors."""
+    from .operators.dedup import incremental_exact_dedup
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    index = (docs.filter(F.col("doc_id") < 300)
+             .select(fingerprint_expr("text").alias("fingerprint"))
+             .distinct())
+    batch = docs.filter(F.col("doc_id") >= 250).unionByName(
+        docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 280))
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return incremental_exact_dedup(batch, index, "text", "doc_id") \
+        .select("doc_id")
+
+
+SQL_INCREMENTAL_EXACT = r"""
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+  FROM documents),
+idx AS (SELECT DISTINCT f FROM fp WHERE doc_id < 300),
+batch AS (
+  SELECT doc_id, f FROM fp WHERE doc_id >= 250
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, f FROM fp
+  WHERE doc_id >= 250 AND doc_id < 280),
+fresh AS (SELECT doc_id, f FROM batch WHERE f NOT IN (SELECT f FROM idx))
+SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY f
+"""
+
+
 _MIX_SHARES = {"src0": 0.3, "src1": 0.3, "src2": 0.2, "src3": 0.2}
 
 
@@ -2805,4 +2836,6 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
                            _sql_conversation_gates()),
     "mixing_rates_documents": (q_mixing_rates_documents,
                                _sql_mixing_rates()),
+    "incremental_exact_dedup": (q_incremental_exact_dedup,
+                                SQL_INCREMENTAL_EXACT),
 }

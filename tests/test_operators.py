@@ -381,3 +381,23 @@ def test_semantic_dedup_clique_survivor(spark):
     # vectors with no near-duplicate all survive
     for i in set(range(15)) - {0, 1, 2, 5, 6}:
         assert out[i]["keep"], i
+
+
+def test_incremental_exact_dedup(spark):
+    from discoverx_spark.operators.dedup import incremental_exact_dedup
+    from discoverx_spark.functions.text import fingerprint_expr
+    idx_rows = [(1, "already indexed"), (2, "also indexed")]
+    index = spark.createDataFrame(idx_rows, "doc_id long, text string") \
+        .select(fingerprint_expr("text").alias("fingerprint"))
+    batch_rows = [
+        (10, "already indexed"),        # dup of index -> dropped
+        (11, "brand new content"),      # novel
+        (12, "brand new content"),      # in-batch dup -> min id wins
+        (13, "Already   Indexed"),      # normalized dup of index
+        (14, "other novel text"),
+    ]
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    out = sorted(r["doc_id"] for r in
+                 incremental_exact_dedup(batch, index,
+                                         "text", "doc_id").collect())
+    assert out == [11, 14]
