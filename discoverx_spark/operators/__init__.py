@@ -7,7 +7,7 @@ from .dedup import (tokens_expr, shingles_expr, exact_duplicates, dedup_exact,
                     minhash_struct_expr,
                     lsh_candidate_pairs, minhash_near_duplicates,
                     incremental_lsh_pairs, incremental_exact_dedup,
-                    contamination_check, line_dedup,
+                    contamination_check, line_dedup, line_dedup_within,
                     jaccard_pairs, simhash_expr, simhash_near_duplicates,
                     connected_components, dedup_clusters)
 from .packing import pack_sequences, token_counts, top_tokens
@@ -38,7 +38,7 @@ __all__ = [
     "hash_sample", "stratified_hash_sample", "split_train_holdout",
     "cap_per_group", "incremental_lsh_pairs", "contamination_check",
     "line_dedup", "semantic_dedup", "domain_blocklist_filter",
-    "incremental_exact_dedup",
+    "incremental_exact_dedup", "line_dedup_within",
     "mixing_rates",
     "bm25_topk", "term_frequencies", "doc_lengths",
     "tfidf_weights", "sparse_near_duplicates",

@@ -737,3 +737,36 @@ def incremental_exact_dedup(batch: DataFrame, index_fps: DataFrame,
             .agg(F.min("_ie_id").alias("_ie_keep_id"))
             .select(F.col("_ie_keep_id").alias(id_col)))
     return batch.join(keep, id_col, "left_semi")
+
+
+def line_dedup_within(df: DataFrame, text_col: str,
+                      id_col: str) -> DataFrame:
+    """Within-document repeated-line removal — the page-local C4 rule
+    (dedup lines inside one doc; :func:`line_dedup` is the corpus-wide
+    variant).  A line survives at its FIRST occurrence in the doc;
+    whitespace-only lines always survive.
+
+    Pure zero-shuffle projection: runs in the scan stage at any corpus
+    size.  The trimmed-line array is materialized as a column before the
+    keep-filter — referencing it from the lambda as an attribute is
+    safe, while an inline expression would be re-evaluated per element
+    by Catalyst's lambda inlining.  First-occurrence lookup is
+    ``array_position`` (O(lines²) string compares per doc — fine for
+    real page sizes; a fold with a map accumulator is the linear upgrade
+    if million-line docs appear).
+
+    Returns ``(id, clean_text, n_lines, n_removed)``.
+    """
+    parts = F.split(F.col(text_col), "\n")
+    staged = (df.withColumn("_ldw_parts", parts)
+              .withColumn("_ldw_trim", F.transform(parts, F.trim)))
+    kept = F.filter(
+        F.col("_ldw_parts"),
+        lambda x, i: (F.trim(x) == "")
+        | (F.array_position(F.col("_ldw_trim"),
+                            F.get(F.col("_ldw_trim"), i)) == i + 1))
+    return staged.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size("_ldw_parts").alias("n_lines"),
+        (F.size("_ldw_parts") - F.size(kept)).alias("n_removed"))

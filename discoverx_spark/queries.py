@@ -2393,6 +2393,43 @@ def _sql_scan_transcripts() -> str:
             f"AS v(conv_id, role, text))\n" + "\nUNION ALL\n".join(arms))
 
 
+def q_line_dedup_within_documents(spark, sf_dir):
+    """Within-doc repeated-line removal (page-local C4 rule) over docs
+    with deterministic internal repeats: each doc's text appears twice
+    plus a repeated filler line — the second copies must vanish."""
+    from .operators.dedup import line_dedup_within
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat_ws("\n", "text", F.lit("filler line"), "text",
+                    F.lit("filler line"), F.lit("  ")).alias("text"))
+    return line_dedup_within(aug, "text", "doc_id")
+
+
+SQL_LINE_DEDUP_WITHIN = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || chr(10) || 'filler line' || chr(10) || text
+              || chr(10) || 'filler line' || chr(10) || '  ' AS text
+  FROM documents),
+staged AS (
+  SELECT doc_id, string_split(text, chr(10)) AS parts,
+         list_transform(string_split(text, chr(10)), x -> trim(x)) AS tr
+  FROM aug),
+kept AS (
+  SELECT doc_id, parts,
+         list_filter(parts,
+                     (x, i) -> trim(x) = '' OR list_position(tr, tr[i]) = i)
+           AS keep
+  FROM staged)
+SELECT doc_id,
+       array_to_string(keep, chr(10)) AS clean_text,
+       CAST(len(parts) AS INTEGER) AS n_lines,
+       CAST(len(parts) - len(keep) AS INTEGER) AS n_removed
+FROM kept
+"""
+
+
 def q_incremental_exact_dedup(spark, sf_dir):
     """Daily-crawl update path: dedup a new batch (docs 250+ plus planted
     clones) against an existing fingerprint index (docs < 300) — already-
@@ -2838,4 +2875,6 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
                                _sql_mixing_rates()),
     "incremental_exact_dedup": (q_incremental_exact_dedup,
                                 SQL_INCREMENTAL_EXACT),
+    "line_dedup_within_documents": (q_line_dedup_within_documents,
+                                    SQL_LINE_DEDUP_WITHIN),
 }

@@ -401,3 +401,19 @@ def test_incremental_exact_dedup(spark):
                  incremental_exact_dedup(batch, index,
                                          "text", "doc_id").collect())
     assert out == [11, 14]
+
+
+def test_line_dedup_within_doc(spark):
+    from discoverx_spark.operators.dedup import line_dedup_within
+    rows = [
+        (1, "a\nb\na\n \nb\n \na"),     # repeats + preserved blanks
+        (2, "x"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in line_dedup_within(df, "text", "doc_id").collect()}
+    assert out[1]["clean_text"] == "a\nb\n \n "
+    assert out[1]["n_lines"] == 7 and out[1]["n_removed"] == 3
+    assert out[2]["clean_text"] == "x" and out[2]["n_removed"] == 0
+    assert out[3]["clean_text"] == "" and out[3]["n_lines"] == 1
