@@ -163,10 +163,15 @@ def mixing_rates(df: DataFrame, group_col: str,
     stats = (df.groupBy(group_col)
              .agg(F.sum(w).cast("long").alias("n_units")))
     j = stats.join(F.broadcast(tgt), group_col, "inner")
-    tmin = j.agg(F.min(F.col("n_units") / F.col("target_share")).alias("_t"))
-    return (j.crossJoin(F.broadcast(tmin))
-            .select(group_col, "n_units", "target_share",
-                    F.round(F.col("target_share") * F.col("_t")
-                            / F.col("n_units"), 6).alias("rate"),
-                    F.round(F.col("target_share") * F.col("_t"), 6)
-                    .alias("sampled_units")))
+    # global feasible budget via an empty-partition window: the frame is
+    # domain-count-sized, so one single-partition window beats deriving
+    # the whole aggregate subplan twice (crossJoin of a 1-row agg would
+    # re-run the groupBy per reference)
+    from pyspark.sql.window import Window
+    t = F.min(F.col("n_units") / F.col("target_share")) \
+        .over(Window.partitionBy())
+    return (j.select(group_col, "n_units", "target_share",
+                     F.round(F.col("target_share") * t
+                             / F.col("n_units"), 6).alias("rate"),
+                     F.round(F.col("target_share") * t, 6)
+                     .alias("sampled_units")))

@@ -159,6 +159,10 @@ def test_registry_wide_plan_budgets(spark):
         "ivf_topk": 8,
         # history top-2 window + two op streams + full-outer + dim joins
         "housekeeping_gates": 8,
+        # index anti-join (SMJ, index side not broadcastable at scale) +
+        # novel-fp groupBy + semi-join back, over a two-branch union that
+        # re-scans (not re-shuffles) the batch per reference
+        "incremental_exact_dedup": 12,
         # multi-stage compositions
         "curation_pipeline_documents": 8, "dedup_conversations": 8,
         "user_sessions": 6, "transcripts_conversation_stats": 6,
