@@ -46,6 +46,12 @@ HEADLINE = [
     # cost is iteration-count × driver-round-trips (connected components),
     # not per-row work, so it would measure the loop, not the operators.
     "minhash_neardup_xxhash_sf",
+    # round-3 additions: corpus-wide line dedup and SemDeDup semantic
+    # dedup — the two new dedup families get tracked timings.  The
+    # semantic entry is the production-shaped bench twin (64 cells,
+    # hot-cluster cap ON); the exhaustive max_cluster=None variant is the
+    # oracle query, not a headline.
+    "line_dedup_documents", "semantic_dedup_sf",
 ]
 
 

@@ -19,7 +19,8 @@ from .sampling import (cap_per_group, domain_blocklist_filter, hash_sample,
 from .similarity import (dot_expr, norm_expr, cosine_expr, brute_force_topk,
                          embedding_near_duplicates, lsh_topk, ivf_train, ivf_assign,
                          ivf_topk, lsh_near_duplicates,
-                         lsh_signature_expr, semantic_dedup)
+                         lsh_signature_expr, semantic_dedup,
+                         ivf_assign_batched)
 
 __all__ = [
     "conversation_stats", "conversation_fingerprints",
@@ -39,7 +40,7 @@ __all__ = [
     "cap_per_group", "incremental_lsh_pairs", "contamination_check",
     "line_dedup", "semantic_dedup", "domain_blocklist_filter",
     "incremental_exact_dedup", "line_dedup_within",
-    "mixing_rates",
+    "mixing_rates", "ivf_assign_batched",
     "bm25_topk", "term_frequencies", "doc_lengths",
     "tfidf_weights", "sparse_near_duplicates",
 ]

@@ -2430,6 +2430,22 @@ FROM kept
 """
 
 
+def q_semantic_dedup_sf(spark, sf_dir):
+    """Bench-only sf-scale twin of `semantic_dedup_embeddings`: the
+    production shape — 64 coarse cells and the hot-cluster cap ON
+    (default max_cluster=1024) — over embeddings ∪ clones.  Not in
+    QUERIES (the algorithm is oracle-checked by the exhaustive
+    `semantic_dedup_embeddings`); bench.py times it so the scale path
+    has tracked numbers."""
+    from .operators.similarity import semantic_dedup
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    both = emb.unionByName(
+        emb.filter(F.col("vec_id") < 50)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
+    return semantic_dedup(both, emb.filter(F.col("vec_id") < 64),
+                          threshold=0.99, assign_method="batched")
+
+
 def q_incremental_exact_dedup(spark, sf_dir):
     """Daily-crawl update path: dedup a new batch (docs 250+ plus planted
     clones) against an existing fingerprint index (docs < 300) — already-

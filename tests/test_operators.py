@@ -417,3 +417,27 @@ def test_line_dedup_within_doc(spark):
     assert out[1]["n_lines"] == 7 and out[1]["n_removed"] == 3
     assert out[2]["clean_text"] == "x" and out[2]["n_removed"] == 0
     assert out[3]["clean_text"] == "" and out[3]["n_lines"] == 1
+
+
+def test_batched_assignment_matches_sql(embeddings, spark):
+    from discoverx_spark.operators.similarity import (ivf_assign_batched,
+                                                      semantic_dedup)
+    df, _ = embeddings
+    cents = df.filter(F.col("vec_id") < 4)
+    got = {r["id"]: (r["centroid_id"], r["centroid_sim"]) for r in
+           ivf_assign_batched(df, cents).collect()}
+    # the SQL path inside semantic_dedup produces the reference
+    # assignment; compare both full outputs
+    sql_out = {r["id"]: r for r in
+               semantic_dedup(df, cents, threshold=0.999,
+                              max_cluster=None).collect()}
+    bat_out = {r["id"]: r for r in
+               semantic_dedup(df, cents, threshold=0.999, max_cluster=None,
+                              assign_method="batched").collect()}
+    assert len(got) == 20
+    for i, r in sql_out.items():
+        assert got[i][0] == r["centroid_id"], i
+        assert abs(got[i][1] - r["centroid_sim"]) < 2e-6, i
+        b = bat_out[i]
+        assert (b["centroid_id"], b["keep"]) == (r["centroid_id"],
+                                                 r["keep"]), i
