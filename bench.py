@@ -7,9 +7,10 @@ sink (full compute, no driver collect).
 
 Phase B — north-rule scaling evidence: the identical transcripts
 quality-filter job (decide() over a pre-generated parquet input) at two
-parallelism levels, local[8] and local[32] (sandbox stand-ins for N and 4N
-executors).  Reports turns/sec at both and scaling efficiency
-``(tp_32 / tp_8) / 4`` (target ≥ 0.8, BASELINE.md).
+parallelism levels, local[2] and local[8], each in a persistent child
+pinned to a disjoint CPU set (sandbox stand-ins for N and 4N executors).
+Reports turns/sec at both and scaling efficiency ``(tp_8 / tp_2) / 4``
+(target ≥ 0.8, BASELINE.md).
 
 Prints ONE JSON line:
 ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
@@ -247,8 +248,8 @@ def write_baseline_md(result: dict) -> None:
         "(otherwise a small session's JVM + Python helper threads spill",
         "onto the other machine cores and inflate the small-cluster",
         "baseline; disjoint sets keep the idle level off the measuring",
-        "one). Children warm once and serve timed runs on demand, so up",
-        "to six interleaved reps fit the time budget. Per rep: one high",
+        "one). Children warm once and serve timed runs on demand, so",
+        "four interleaved reps fit the time budget. Per rep: one high",
         "run, min of two low runs (a burst inside a low run INFLATES that",
         "rep's efficiency and the best-rep headline would cherry-pick it;",
         "a burst inside the high run only understates — so only the low",

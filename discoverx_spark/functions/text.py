@@ -365,7 +365,8 @@ def quality_classifier_sql(text_sql: str, weights: Optional[dict] = None,
     w = weights if weights is not None else QUALITY_CLF_WEIGHTS
     b = QUALITY_CLF_BIAS if bias is None else bias
     case = "CASE t " + " ".join(
-        f"WHEN '{k}' THEN {float(w[k])!r}" for k in sorted(w)) + " ELSE 0.0 END"
+        "WHEN '{}' THEN {!r}".format(k.replace("'", "''"), float(w[k]))
+        for k in sorted(w)) + " ELSE 0.0 END"
     toks = f"list_sort(regexp_extract_all(lower({text_sql}), '(\\S+)', 1))"
     total = (f"list_reduce(list_prepend(0.0, list_transform({toks}, "
              f"t -> {case})), (a, x) -> a + x)")
@@ -379,8 +380,10 @@ def quality_classifier_sql(text_sql: str, weights: Optional[dict] = None,
 
 _HTML_BLOCK_TAGS = ("p|div|br|li|h[1-6]|tr|td|table|ul|ol|header|footer|"
                     "section|article|nav|blockquote")
-_HTML_ENTITIES = [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-                  ("&quot;", "\""), ("&#39;", "'"), ("&nbsp;", " ")]
+# &amp; is decoded LAST (standard order): decoding it first would turn a
+# double-encoded '&amp;lt;' into '&lt;' and then wrongly into '<'
+_HTML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+                  ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]
 
 
 def html_extract_expr(col, min_line_tokens: int = 4) -> Column:

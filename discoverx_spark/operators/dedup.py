@@ -668,12 +668,24 @@ def line_dedup(df: DataFrame, text_col: str, id_col: str,
 
     Hot duplicate lines (boilerplate in millions of docs) fan out into
     large removal groups; that is the actual work, and AQE skew-join
-    handles the join side.  ``hash_mode='md5'`` gives DuckDB-reproducible
-    keys for the oracle; production uses JVM ``xxhash64``.
+    handles the join side.  Deletion is keyed on a **128-bit** line key —
+    full ``md5`` in oracle mode, a dual-seed ``xxhash64`` struct in
+    production — because this operator DESTROYS data on key equality
+    with no candidate-verification step: a 64-bit key at 10^12 distinct
+    lines already expects ~10^4 birthday collisions (each one a unique
+    line silently deleted), while 128 bits makes the expectation ~1e-14.
     """
     if min_count < 2:
         raise ValueError("min_count < 2 would delete unique lines")
-    hf = _hash_fn(hash_mode, 0)
+    if hash_mode == "md5":
+        def hf(c):
+            return F.md5(c)          # full 128-bit digest, not a slice
+    elif hash_mode == "xxhash64":
+        def hf(c):
+            return F.struct(F.xxhash64(c, F.lit(0)).alias("h0"),
+                            F.xxhash64(c, F.lit(1)).alias("h1"))
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     parts = F.split(F.col(text_col), "\n")
     lines = (df.select(F.col(id_col).alias("_ld_id"),
                        F.posexplode(parts).alias("pos", "line"))

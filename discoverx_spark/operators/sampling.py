@@ -116,16 +116,24 @@ def domain_blocklist_filter(df: DataFrame, text_col: str, id_col: str,
     the final drop is a left-anti join on ``id_col`` (the small bad-id
     set broadcasts in turn under AQE).
     """
+    # (?i) scheme, optional userinfo ('https://x@badsite.org' must still
+    # yield badsite.org), and trailing dots stripped ('badsite.org.' is
+    # the same host) — a FILTER is judged by the evasions it closes
     hosts = df.select(
         F.col(id_col), F.explode(F.regexp_extract_all(
             F.col(text_col),
-            F.lit(r"https?://([A-Za-z0-9.-]+)"), 1)).alias("_bl_host"))
-    parts = F.split(F.lower(F.col("_bl_host")), r"\.")
+            F.lit(r"(?i)https?://(?:[^/\s@]*@)?([A-Za-z0-9.-]+)"), 1))
+        .alias("_bl_raw"))
+    host = F.regexp_replace(F.lower(F.col("_bl_raw")), r"\.+$", "")
+    # materialize the split as a column: an inline expression referenced
+    # from the transform lambda is re-evaluated per element by Catalyst
+    staged = hosts.select(id_col, F.split(host, r"\.").alias("_bl_parts"))
+    parts = F.col("_bl_parts")
     sufs = F.transform(
         parts,
         lambda x, i: F.array_join(
             F.slice(parts, i + 1, F.size(parts)), "."))
-    bad = (hosts.select(id_col, F.explode(sufs).alias("_bl_suf"))
+    bad = (staged.select(id_col, F.explode(sufs).alias("_bl_suf"))
            .where(F.col("_bl_suf").contains("."))
            .join(F.broadcast(blocklist.select(
                F.lower(F.col(domain_col)).alias("_bl_suf"))), "_bl_suf",

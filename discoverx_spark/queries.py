@@ -1264,8 +1264,7 @@ sp AS (SELECT page, string_split(text, chr(10)) AS parts FROM pages),
 lines AS (SELECT page, unnest(parts) AS line,
                  generate_subscripts(parts, 1) AS pos
           FROM sp),
-keyed AS (SELECT page, pos,
-                 ('0x'||substr(md5(trim(line)||'#g0'),1,8))::BIGINT AS k
+keyed AS (SELECT page, pos, md5(trim(line)) AS k
           FROM lines WHERE trim(line) <> ''),
 ranked AS (SELECT page, pos,
                   ROW_NUMBER() OVER (PARTITION BY k ORDER BY page, pos) AS rn,
@@ -1339,14 +1338,15 @@ WITH aug AS (
   FROM documents),
 hosts AS (
   SELECT doc_id,
-         unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1))
-           AS host
+         regexp_replace(lower(unnest(regexp_extract_all(
+             text, '(?i)https?://(?:[^/\s@]*@)?([A-Za-z0-9.-]+)', 1))),
+             '\.+$', '') AS host
   FROM aug),
 sufs AS (
   SELECT doc_id,
          unnest(list_transform(
-             range(1, len(string_split(lower(host), '.')) + 1),
-             i -> array_to_string(string_split(lower(host), '.')[i:], '.')))
+             range(1, len(string_split(host, '.')) + 1),
+             i -> array_to_string(string_split(host, '.')[i:], '.')))
            AS suf
   FROM hosts),
 bad AS (

@@ -177,35 +177,55 @@ def conversation_gates_stream(turns_stream: DataFrame, min_turns: int = 2,
 
     The per-turn flags are computed JVM-side BEFORE the stateful stage,
     so the Python state update only counts; state is six scalars per
-    live conversation.  Alternation is checked over turns sorted by
-    ``turn_idx`` within each update plus the stored boundary
-    ``(last_idx, last_role)`` — exact whenever a conversation's turns
-    arrive in order across triggers (and always exact for a conversation
-    contained in one trigger, which the batch-parity test exercises)."""
+    live conversation.  All of a trigger's chunks for the group are
+    concatenated and sorted by ``turn_idx`` ONCE (the engine splits a
+    group into arbitrary-order Arrow chunks at maxRecordsPerBatch, so a
+    per-chunk sort would interleave), then the stored boundary
+    ``(last_idx, last_role)`` extends the alternation check across
+    triggers — applied only when this trigger's first turn comes after
+    the stored last one (in-order arrival), so out-of-order delivery
+    degrades to skipping the one boundary comparison rather than
+    inventing violations.  Exact for any conversation contained in one
+    trigger (asserted by the batch-parity test)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     import pandas as pd
 
     from ..operators.convagg import conversation_turn_flags
+
+    def _round6(x: float) -> float:
+        # match Spark's F.round (BigDecimal HALF_UP on the double) —
+        # Python's round() is half-even and diverges on exact halves
+        return float(Decimal(x).quantize(Decimal("0.000001"),
+                                         rounding=ROUND_HALF_UP))
 
     def update(key, pdfs, state: GroupState):
         if state.exists:
             n_turns, n_toxic, n_pii, n_viol, last_idx, last_role = state.get
         else:
             n_turns, n_toxic, n_pii, n_viol, last_idx, last_role = \
-                0, 0, 0, 0, None, None
-        for pdf in pdfs:
+                0, 0, 0, 0, -1, ""
+        chunks = list(pdfs)
+        pdf = (pd.concat(chunks, ignore_index=True) if chunks
+               else pd.DataFrame(columns=["turn_idx", "role",
+                                          "is_toxic", "has_pii"]))
+        if len(pdf):
             pdf = pdf.sort_values("turn_idx")
-            for _, row in pdf.iterrows():
-                n_turns += 1
-                n_toxic += int(row["is_toxic"] or 0)
-                n_pii += int(row["has_pii"] or 0)
-                if last_role is not None and row["role"] == last_role:
+            roles = pdf["role"].tolist()
+            idxs = pdf["turn_idx"].tolist()
+            n_turns += len(pdf)
+            n_toxic += int(pdf["is_toxic"].fillna(0).sum())
+            n_pii += int(pdf["has_pii"].fillna(0).sum())
+            if (last_role != "" and int(idxs[0]) > last_idx
+                    and roles[0] == last_role):
+                n_viol += 1
+            for j in range(1, len(roles)):
+                if roles[j] == roles[j - 1]:
                     n_viol += 1
-                last_idx, last_role = int(row["turn_idx"]), row["role"]
-        state.update((n_turns, n_toxic, n_pii, n_viol,
-                      last_idx if last_idx is not None else -1,
-                      last_role if last_role is not None else ""))
-        toxic_frac = round(n_toxic / max(n_turns, 1), 6)
-        pii_frac = round(n_pii / max(n_turns, 1), 6)
+            last_idx, last_role = int(idxs[-1]), roles[-1]
+        state.update((n_turns, n_toxic, n_pii, n_viol, last_idx, last_role))
+        toxic_frac = _round6(n_toxic / max(n_turns, 1))
+        pii_frac = _round6(n_pii / max(n_turns, 1))
         keep = (min_turns <= n_turns <= max_turns
                 and toxic_frac <= max_toxic_frac
                 and pii_frac <= max_pii_frac

@@ -156,12 +156,16 @@ def test_domain_blocklist_suffix_matching(spark):
         (4, "read https://safe.org/d and https://Example.COM/e"),  # any hit
         (5, "no urls at all"),
         (6, "read https://other.net/f"),
+        (7, "read https://x@example.com/evade"),     # userinfo bypass
+        (8, "read HTTPS://EXAMPLE.COM/shout"),       # uppercase scheme
+        (9, "read https://example.com./dot"),        # trailing-dot host
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     bl = spark.createDataFrame([("example.com",)], "domain string")
     kept = sorted(r["doc_id"] for r in
                   domain_blocklist_filter(df, "text", "doc_id", bl).collect())
     assert kept == [3, 5, 6]
+
 
 
 def test_mixing_rates_binding_domain(spark):

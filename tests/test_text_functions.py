@@ -199,3 +199,25 @@ def test_html_extract_strips_boilerplate(spark):
     # are all gone
     assert out == ("The quick brown fox & the lazy dog.\n"
                    "one two three four five")
+
+
+def test_html_entities_double_encoded(spark):
+    from discoverx_spark.functions.text import html_extract_expr
+    df = spark.createDataFrame(
+        [(1, "<p>shows &amp;lt; and &amp; and &lt;tag&gt; here</p>")],
+        "doc_id long, text string")
+    out = df.select(html_extract_expr("text").alias("t")).first()["t"]
+    # double-encoded &amp;lt; renders as the literal '&lt;', single-encoded
+    # &lt; decodes to '<'
+    assert out == "shows &lt; and & and <tag> here"
+
+
+def test_quality_classifier_sql_escapes_quotes():
+    import duckdb
+
+    from discoverx_spark.functions.text import quality_classifier_sql
+    sql = quality_classifier_sql("'don''t stop now'",
+                                 weights={"don't": 1.0, "stop": -1.0},
+                                 bias=0.0)
+    v = duckdb.connect().execute(f"SELECT {sql}").fetchone()[0]
+    assert 0.0 < v < 1.0
