@@ -229,7 +229,7 @@ def write_baseline_md(result: dict) -> None:
         f"**{tr['low_turns_per_sec']:,.0f} turns/sec**",
         f"- local[{tr['high_cpus']}]: {tr['high_sec']} s → "
         f"**{tr['high_turns_per_sec']:,.0f} turns/sec**",
-        f"- local[{tr['high_cpus']}] with the bounded per-worker result "
+        f"- local[{tr['high_cpus']}] with the bounded per-task result "
         f"cache on (PipelineConfig.memo_size=65536): "
         f"**{tr.get('high_turns_per_sec_memoized', 0):,.0f} turns/sec** — "
         f"reported separately, NOT the headline: the generated input is "
@@ -394,7 +394,7 @@ def main() -> None:
             break  # stay inside the driver's time budget on a slow host
         time.sleep(gap)
     t_low, t_high = min(lows), min(highs)
-    # one extra measurement with the bounded per-worker result cache ON
+    # one extra measurement with the bounded per-task result cache ON
     # (PipelineConfig.memo_size): reported SEPARATELY because the win is
     # the corpus's exact-duplicate fraction, not compute — the generated
     # bench input is ~11%-distinct, far more repetitive than real deduped

@@ -294,12 +294,33 @@ TOXIC_KEYWORDS = ["stupid", "idiot", "idiotic", "moron", "shut up", "dumb",
                   "useless", "hate you", "loser"]
 
 
+def toxicity_pattern(keywords: Optional[Sequence[str]]) -> Optional[str]:
+    """Escaped word-boundary alternation for the toxicity keyword gate —
+    the ONE builder every consumer (JVM expr, fused UDF, driver oracle)
+    shares.  Keywords are regex-escaped (a keyword like ``a(b`` must
+    match literally, not crash every executor) and multi-word keywords
+    match across whitespace runs.  Returns ``None`` for an empty list:
+    the naive empty alternation ``\\b(?:)\\b`` matches EVERY word
+    boundary, silently dropping the whole corpus as toxic."""
+    import re as _re
+
+    kws = [k for k in (keywords if keywords is not None else TOXIC_KEYWORDS)
+           if k and k.strip()]
+    if not kws:
+        return None
+    parts = [r"\s+".join(_re.escape(w) for w in k.split()) for k in kws]
+    return r"\b(?:" + "|".join(parts) + r")\b"
+
+
 def toxicity_exprs(col, keywords: Optional[Sequence[str]] = None) -> tuple:
     """(hits Column[int], score Column[double]): keyword-match count and
-    per-token density, case-insensitive, word-boundary guarded."""
-    kws = list(keywords) if keywords is not None else TOXIC_KEYWORDS
-    pattern = r"(\b(?:" + "|".join(k.replace(" ", r"\s+") for k in kws) + r")\b)"
-    hits = F.size(F.regexp_extract_all(F.lower(_c(col)), F.lit(pattern), 1))
+    per-token density, case-insensitive, word-boundary guarded.  An empty
+    keyword list disables the gate (0 hits everywhere)."""
+    pat = toxicity_pattern(keywords)
+    if pat is None:
+        return F.lit(0), F.lit(0.0)
+    hits = F.size(F.regexp_extract_all(F.lower(_c(col)),
+                                       F.lit("(" + pat + ")"), 1))
     score = hits.cast("double") / F.greatest(token_count_expr(col), F.lit(1)).cast("double")
     return hits, score
 

@@ -34,9 +34,11 @@ from pyspark.sql import functions as F
 from .pipeline import PipelineConfig, decide
 from .scrub import PII_CLASSES
 
-LINEAGE_SCHEMA = ("partition_id string, status string, rows_in long, "
-                  "rows_kept long, rows_dropped long, error string, "
-                  "effective_timestamp timestamp")
+# row schema as WRITTEN by _append_lineage (the timestamp is added at
+# append time); the public constants derive from it so they cannot drift
+_LINEAGE_ROW_SCHEMA = ("partition_id string, status string, rows_in long, "
+                       "rows_kept long, rows_dropped long, error string")
+LINEAGE_SCHEMA = _LINEAGE_ROW_SCHEMA + ", effective_timestamp timestamp"
 METRICS_SCHEMA = ("partition_id string, class_name string, score double, "
                   "effective_timestamp timestamp")
 
@@ -85,16 +87,34 @@ class ResumableRunner:
 
     # -- state ------------------------------------------------------------
     def lineage(self) -> Optional[DataFrame]:
+        # ONLY a missing path means "fresh start" — swallowing every
+        # exception here would turn a transient read failure into a
+        # silent full reprocess (with duplicate lineage/metrics appends)
+        from pyspark.errors import AnalysisException
         try:
             return self.spark.read.parquet(self.lineage_path)
-        except Exception:
+        except AnalysisException:
             return None
 
-    def metrics(self) -> Optional[DataFrame]:
+    def metrics(self, latest_only: bool = True) -> Optional[DataFrame]:
+        """Per-(partition, class) metrics.  ``latest_only`` (default)
+        keeps the newest row per key: a crash between the metrics append
+        and the 'done' lineage append makes the retried partition append
+        its metrics a second time, and latest-wins is what consumers
+        want (the reprocessed values are authoritative and, the pipeline
+        being deterministic, identical)."""
+        from pyspark.errors import AnalysisException
         try:
-            return self.spark.read.parquet(self.metrics_path)
-        except Exception:
+            m = self.spark.read.parquet(self.metrics_path)
+        except AnalysisException:
             return None
+        if latest_only:
+            from pyspark.sql.window import Window
+            w = Window.partitionBy("partition_id", "class_name") \
+                .orderBy(F.desc("effective_timestamp"))
+            m = (m.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1).drop("_rn"))
+        return m
 
     def completed_partitions(self) -> set:
         lin = self.lineage()
@@ -109,9 +129,7 @@ class ResumableRunner:
                         rows_kept: int, error: Optional[str]) -> None:
         row = [(partition_id, status, rows_in, rows_kept,
                 rows_in - rows_kept, error)]
-        (self.spark.createDataFrame(
-            row, "partition_id string, status string, rows_in long, "
-                 "rows_kept long, rows_dropped long, error string")
+        (self.spark.createDataFrame(row, _LINEAGE_ROW_SCHEMA)
          .withColumn("effective_timestamp", F.current_timestamp())
          .coalesce(1).write.mode("append").parquet(self.lineage_path))
 

@@ -27,6 +27,9 @@ from .pipeline import DECISION_COLUMNS, PipelineConfig
 from .scrub import SCRUB_RULES
 
 _STRIP = ".,;:!?\"'()"
+# hoisted: building these per call meant once-per-row set construction
+sets = {l: frozenset(ws) for l, ws in LANG_STOPWORDS.items()}
+known = frozenset().union(*sets.values())
 
 
 def _lang_of(text: str, words: list) -> tuple:
@@ -51,8 +54,6 @@ def _lang_of(text: str, words: list) -> tuple:
                 return best, min(1.0, frac * 2)
     if not words:
         return "und", 0.0
-    sets = {l: frozenset(ws) for l, ws in LANG_STOPWORDS.items()}
-    known = frozenset().union(*sets.values())
     hits = {l: 0 for l in _LANG_ORDER}
     for w in words:
         if w in known:
@@ -102,8 +103,14 @@ def reference_decide(turns: pd.DataFrame,
     pii_counts as sorted-key JSON)."""
     kws = (list(cfg.toxicity_keywords)
            if cfg.toxicity_keywords is not None else TOXIC_KEYWORDS)
+    # independently-coded twin of functions.text.toxicity_pattern (this
+    # module must share no feature code with the production path):
+    # escaped keywords, whitespace-run joins, empty list disables
+    kws = [k for k in kws if k and k.strip()]
     tox_rx = re.compile(
-        r"\b(?:" + "|".join(k.replace(" ", r"\s+") for k in kws) + r")\b")
+        r"\b(?:" + "|".join(
+            r"\s+".join(re.escape(w) for w in k.split())
+            for k in kws) + r")\b") if kws else None
     rules = [(r.class_name, re.compile(r.pattern), r.token)
              for r in SCRUB_RULES]
 
@@ -122,7 +129,8 @@ def reference_decide(turns: pd.DataFrame,
             n_tokens, n_chars = len(words), len(text)
             is_blank = not text.strip()
             lang, lang_score = _lang_of(text, words)
-            tox_hits = len(tox_rx.findall(lowered))
+            tox_hits = (len(tox_rx.findall(lowered))
+                        if tox_rx is not None else 0)
             tox_score = tox_hits / max(n_tokens, 1)
             ppl = _perplexity(lowered)
             scrubbed, counts = _scrub(text, rules)

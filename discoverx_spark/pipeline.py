@@ -42,7 +42,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .functions import perplexity as _ppl
-from .functions.text import _LANG_ORDER, _SCRIPTS, LANG_STOPWORDS, TOXIC_KEYWORDS
+from .functions.text import (_LANG_ORDER, _SCRIPTS, LANG_STOPWORDS,
+                             TOXIC_KEYWORDS, toxicity_pattern)
 from .scrub import PROFILE_PYTHON, _compiled
 
 DECISION_COLUMNS = [
@@ -62,8 +63,11 @@ class PipelineConfig:
     max_toxicity_hits: int = 1          # drop when hits >= this
     toxicity_keywords: Optional[Tuple[str, ...]] = None
     scrub_profile: str = PROFILE_PYTHON
-    # Bounded per-worker result cache keyed on the raw text. The scorer is
-    # a pure function, so caching is byte-exact; the win is entirely
+    # Bounded PER-TASK result cache keyed on the raw text (the
+    # iterator-of-series closure is rebuilt per task, so the cache resets
+    # at partition boundaries — cross-partition duplicates re-compute).
+    # The scorer is a pure function, so caching is byte-exact; the win is
+    # entirely
     # input-dependent (web boilerplate: large; unique prose: none).
     # OFF by default so throughput numbers measure compute, not the
     # duplicate structure of the corpus — turn on for corpora with heavy
@@ -105,13 +109,19 @@ def make_row_scorer(scrub_profile: str = PROFILE_PYTHON,
     for li, l in enumerate(_LANG_ORDER):
         for w in LANG_STOPWORDS[l]:
             word_langs[w] = word_langs.get(w, 0) | (1 << li)
+    # derived, never hardcoded: a language added to _LANG_ORDER must
+    # flow into the mask loops or its stopword hits are silently dropped
+    _N_LANGS = len(_LANG_ORDER)
     # word → resolved mask INCLUDING the punctuation-strip fallback,
     # learned per worker (bounded): real vocabularies are Zipf, so the
     # common words hit one dict probe instead of probe+strip+reprobe
     # (measured ~1.2× on the word loop; semantics unchanged)
     mask_cache = dict(word_langs)
-    tox_rx = _re.compile(
-        r"\b(?:" + "|".join(k.replace(" ", r"\s+") for k in kws) + r")\b")
+    # shared escaped builder: keywords match literally (metacharacters
+    # escaped) and an empty list DISABLES the gate (None) instead of
+    # compiling the match-everything empty alternation
+    _tox_pat = toxicity_pattern(kws)
+    tox_rx = _re.compile(_tox_pat) if _tox_pat is not None else None
     strip_chars = ".,;:!?\"'()"
     # every scrub pattern requires '@', ':', '/', or a digit — one cheap
     # C-level scan rejects the (common) PII-free rows before 7 regex subs
@@ -136,7 +146,7 @@ def make_row_scorer(scrub_profile: str = PROFILE_PYTHON,
                     return best, min(1.0, frac * 2)
         if not words:
             return "und", 0.0
-        masks = [0, 0, 0, 0]
+        masks = [0] * _N_LANGS
         cache_get = mask_cache.get
         for w in words:
             m = cache_get(w)
@@ -148,11 +158,11 @@ def make_row_scorer(scrub_profile: str = PROFILE_PYTHON,
                 if len(mask_cache) < 262_144:
                     mask_cache[w] = m
             if m:
-                for li in range(4):
+                for li in range(_N_LANGS):
                     if m & (1 << li):
                         masks[li] += 1
         best_li, best_hits = 0, 0
-        for li in range(4):
+        for li in range(_N_LANGS):
             if masks[li] > best_hits:
                 best_li, best_hits = li, masks[li]
         if best_hits == 0:
@@ -168,7 +178,8 @@ def make_row_scorer(scrub_profile: str = PROFILE_PYTHON,
         n_chars = len(text)
         is_blank = not text.strip()
         lang, lang_score = lang_of(text, words)
-        tox_hits = len(tox_rx.findall(lowered))
+        tox_hits = (len(tox_rx.findall(lowered))
+                    if tox_rx is not None else 0)
         tox_score = tox_hits / max(n_tokens, 1)
         ids = _ppl._ids(text, lowered)  # perplexity: ORIGINAL text
         if ids.size >= 2:
@@ -201,12 +212,13 @@ def make_features_udf(scrub_profile: str = PROFILE_PYTHON,
                       memo_size: int = 0):
     """Single Arrow-batched UDF: scrub + pii counts + perplexity + language
     ID (script ranges → stopword density) + toxicity + token stats, one
-    Python pass per batch.  All compiled state is built once per worker
+    Python pass per batch.  All compiled state is built once per TASK
     (iterator-of-series lifecycle, reference
-    examples/pii_detection_presidio.py:117-128).
+    examples/pii_detection_presidio.py:117-128) — amortized over every
+    batch of the partition, not per row.
 
-    ``memo_size > 0`` adds a bounded per-worker cache keyed on the raw
-    text: the scorer is pure, so results are byte-identical (pytest-
+    ``memo_size > 0`` adds a bounded per-task cache keyed on the raw
+    text (resets at partition boundaries): the scorer is pure, so results are byte-identical (pytest-
     asserted); the speedup is proportional to the corpus's exact-duplicate
     fraction (boilerplate-heavy web text: large; deduped prose: none)."""
 

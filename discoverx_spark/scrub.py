@@ -180,10 +180,14 @@ def pii_count_exprs(col, classes: Optional[Sequence[str]] = None) -> list:
     c = F.col(col) if isinstance(col, str) else col
     out = []
     for r in SCRUB_RULES:
-        if classes is not None and r.class_name not in classes:
-            continue
-        out.append((r.class_name,
-                    F.size(F.regexp_extract_all(c, F.lit("(" + r.sql_pattern + ")"), 1))))
+        # the ``classes`` filter skips only the COUNT — every rule still
+        # scrubs, or the progressive-overlap semantics would diverge from
+        # the UDF path (e.g. counting ip_v4 without first scrubbing URLs
+        # would count the IP inside http://10.0.0.1/)
+        if classes is None or r.class_name in classes:
+            out.append((r.class_name,
+                        F.size(F.regexp_extract_all(
+                            c, F.lit("(" + r.sql_pattern + ")"), 1))))
         c = F.regexp_replace(c, r.sql_pattern, r.token)
     return out
 

@@ -94,3 +94,30 @@ def test_scrub_udf_matches_scrub_string(spark):
         exp_text, exp_counts = scrub_string(t, PROFILE_PYTHON)
         assert row["scrubbed_text"] == exp_text
         assert dict(row["pii_counts"] or {}) == dict(exp_counts)
+
+
+def test_pii_count_classes_filter_keeps_progressive_scrub(spark):
+    from discoverx_spark.scrub import pii_count_exprs
+    df = spark.createDataFrame(
+        [(1, "visit http://10.0.0.1/path now")], "id long, text string")
+    counts = dict(pii_count_exprs("text", classes=["ip_v4"]))
+    got = df.select(counts["ip_v4"].alias("n")).first()["n"]
+    # the URL rule scrubs first even when only ip_v4 is being counted, so
+    # the IP inside the URL is NOT double-counted as a bare ip_v4
+    full = dict(pii_count_exprs("text"))
+    exp = df.select(full["ip_v4"].alias("n")).first()["n"]
+    assert got == exp
+
+
+def test_empty_toxicity_keywords_disable_gate(spark):
+    from discoverx_spark.pipeline import PipelineConfig, decide
+    df = spark.createDataFrame(
+        [("c", 0, "user", "the and is to of in that it you for with was",
+          None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    out = decide(df, PipelineConfig(toxicity_keywords=())).first()
+    # an empty keyword tuple must DISABLE the gate, not match every word
+    # boundary and drop the whole corpus
+    assert out["toxicity_score"] == 0.0
+    assert "toxicity" not in (out["drop_reasons"] or [])
