@@ -97,8 +97,9 @@ class DataExplorer:
                      if self.registry.columns_with_tag(n, key, value)]
         return names
 
-    def _sql_for(self, name: str) -> str:
-        df = self.registry.get(name)
+    def _sql_for(self, name: str, df=None) -> str:
+        if df is None:
+            df = self.registry.get(name)
         return self._sql_template.format(**_template_vars(name, df))
 
     # -- actions ------------------------------------------------------------
@@ -115,23 +116,40 @@ class DataExplorer:
         """Execute the template per table, add provenance columns, union."""
         if self._sql_template is None:
             raise ValueError("call with_sql(template) first")
+        import re as _re
+        import warnings as _warnings
+
         out: Optional[DataFrame] = None
+        failures: List[str] = []
         for name in self.table_names():
             cat, sch, tbl = name.split(".")
             view = f"dxs_exp_{cat}_{sch}_{tbl}".replace("-", "_")
-            self.registry.get(name).createOrReplaceTempView(view)
-            sql = self._sql_for(name).replace(name, view)
             try:
+                # fetch ONCE per table (register_parquet suppliers re-read
+                # schema per get); rewrite only FROM/JOIN positions — a
+                # whole-statement replace would corrupt provenance
+                # literals like '{full_table_name}' in the select list
+                src = self.registry.get(name)
+                src.createOrReplaceTempView(view)
+                sql = _re.sub(r"(?i)\b(FROM|JOIN)\s+" + _re.escape(name)
+                              + r"\b", rf"\1 {view}",
+                              self._sql_for(name, src))
                 df = self.spark.sql(sql)
-            except Exception:
-                continue  # per-table isolation (explorer.py:287-290)
+            except Exception as e:  # per-table isolation (explorer.py:287-290)
+                failures.append(f"{name}: {e}")
+                continue
             df = (df.withColumn("table_catalog", F.lit(cat))
                     .withColumn("table_schema", F.lit(sch))
                     .withColumn("table_name", F.lit(tbl)))
             out = df if out is None else out.unionByName(df)
         if out is None:
-            raise ValueError(f"no tables matched {self.from_tables!r} "
-                             f"(or every unit failed)")
+            raise ValueError(
+                f"no tables matched {self.from_tables!r} (or every unit "
+                f"failed). Failures: " + ("; ".join(failures) or "none"))
+        if failures:
+            _warnings.warn(
+                f"explorer.apply: {len(failures)} unit(s) failed and were "
+                f"skipped: " + "; ".join(failures), stacklevel=2)
         return out
 
     def map(self, f: Callable[[str, DataFrame], object]) -> List[object]:

@@ -110,6 +110,14 @@ class Msql:
         """Run all compiled units, union-fold the results
         (reference msql.py:114-144). SELECT only — DELETE goes through
         :func:`compile_delete`."""
+        if self.command == "DELETE":
+            # compile-parity only (the reference executes DELETE on Delta
+            # tables); parquet-backed temp views cannot run it — route
+            # row deletion through delete_by_class, which rewrites plans
+            raise ValueError(
+                "DELETE M-SQL compiles (use .build()/what_if) but cannot "
+                "execute against parquet-backed views — use "
+                "delete_by_class() for actual row deletion")
         rows = self.build(classified_columns)
         if not rows:
             raise ValueError(
@@ -125,9 +133,13 @@ class Msql:
         for r in rows:
             full = f"{r.catalog}.{r.schema}.{r.table}"
             view = self._view_name(r.catalog, r.schema, r.table)
-            registry.get(full).createOrReplaceTempView(view)
             sql = r.sql.replace(f"FROM {full}", f"FROM {view}")
             try:
+                # registry.get INSIDE the isolation block: a stale
+                # classified table (persisted scan state referencing a
+                # table no longer registered) must fail its own unit,
+                # not abort every healthy one
+                registry.get(full).createOrReplaceTempView(view)
                 # provenance columns first, then the unit's own columns —
                 # the reference contract (msql.py:114-128): rows stay
                 # attributable to their source table, and the fold is a
@@ -175,13 +187,20 @@ def select_by_classes(spark: SparkSession, registry: TableRegistry,
         df = registry.get(name)
         pairs = sorted(set(by_table[name]))
         cat, sch, tbl = name.split(".")
+        # two columns sharing a class would duplicate the map key (Spark
+        # default mapKeyDedupPolicy=EXCEPTION crashes at runtime): keys
+        # stay the bare class when unique, 'class:column' otherwise
+        from collections import Counter
+        k_counts = Counter(k for k, _ in pairs)
+        entries = []
+        for k, c in pairs:
+            key = k if k_counts[k] == 1 else f"{k}:{c}"
+            entries += [F.lit(key), qcol(df, c).cast("string")]
         sel = df.select(
             F.lit(cat).alias("table_catalog"),
             F.lit(sch).alias("table_schema"),
             F.lit(tbl).alias("table_name"),
-            F.create_map(*[x for k, c in pairs
-                           for x in (F.lit(k), qcol(df, c).cast("string"))])
-            .alias("classified"),
+            F.create_map(*entries).alias("classified"),
             F.to_json(F.struct(*[qcol(df, c).alias(c) for c in df.columns]))
             .alias("row_json"),
         )
@@ -211,14 +230,23 @@ def delete_by_class(spark: SparkSession, registry: TableRegistry,
     ``values`` are removed.  Returns a summary DataFrame
     ``(table, num_deleted)`` and, when confirmed, a dict of surviving
     DataFrames to rewrite — the what-if guard mirrors ``dx.py:376-388``."""
+    pat_parts = from_tables.split(".")
+    if len(pat_parts) != 3:
+        # zip() would silently truncate a malformed pattern and BROADEN
+        # the destructive scope ('main.default' matching every table in
+        # the schema) — the one path that rewrites data validates first
+        raise ValueError(
+            "from_tables must be 'catalog.schema.table' (wildcards "
+            f"allowed), got {from_tables!r}")
     classes = [c for c in scan.get_classes(min_score) if c[4] == by_class]
     plans = {}
     counts = []
     cand_rows = []
+    cols_by_name: Dict[str, List[str]] = {}
     for cat, sch, tbl, col, _k in classes:
         name = f"{cat}.{sch}.{tbl}"
         if not all(fnmatch(p, pp) for p, pp in
-                   zip(name.split("."), from_tables.split("."))):
+                   zip(name.split("."), pat_parts)):
             continue
         df = registry.get(name)
         cond = qcol(df, col).isin(values)
@@ -228,8 +256,19 @@ def delete_by_class(spark: SparkSession, registry: TableRegistry,
         cand_rows.append((name, col))
         counts.append(df.filter(cond).select(
             F.lit(name).alias("table"), F.lit(col).alias("column")))
-        if yes_i_am_sure:
-            plans[name] = df.filter(~cond | qcol(df, col).isNull())
+        cols_by_name.setdefault(name, []).append(col)
+    if yes_i_am_sure:
+        # ONE plan per table over ALL its classified columns: a per-column
+        # plans[name] assignment would keep only the last column's filter
+        # and silently retain rows matching the earlier columns
+        for name, cols in cols_by_name.items():
+            df = registry.get(name)
+            keep = None
+            for col in cols:
+                c = qcol(df, col)
+                k = ~c.isin(values) | c.isNull()
+                keep = k if keep is None else (keep & k)
+            plans[name] = df.filter(keep)
     if not counts:
         summary = spark.createDataFrame(
             [], "table string, column string, num_deleted long")

@@ -69,7 +69,11 @@ def bm25_topk(df: DataFrame, text_col: str, id_col: str,
     stats = doc_lengths(df, text_col, id_col)
     agg = stats.agg(F.count("*").alias("n"),
                     F.avg("dl").alias("avgdl")).collect()[0]
-    n_docs, avgdl = agg["n"], float(agg["avgdl"])
+    n_docs = agg["n"]
+    if n_docs == 0:
+        # avg over zero rows is NULL; fail with meaning, not float(None)
+        raise ValueError("bm25_topk: corpus is empty")
+    avgdl = float(agg["avgdl"])
     dfs = {r["term"]: r["df"] for r in
            tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
            .collect()}

@@ -194,3 +194,29 @@ def test_intro_mentions_the_lifecycle(spark):
     for kw in ("register", "scan", "search", "scrub_by_classes",
                "display_rules"):
         assert kw in text
+
+
+def test_duplicate_class_columns_select_and_delete(spark):
+    d = DX(spark, locale="us")
+    d.register("main.default.dup", spark.createDataFrame(
+        [(1, "a@x.org", "b@y.org"), (2, "c@z.org", "a@x.org"),
+         (3, "keep@me.org", "safe@too.org")],
+        "id int, email_1 string, email_2 string"))
+    d.scan(sample_size=None)
+    # two columns share the 'email' class: the classified map must not
+    # crash on duplicate keys (keys become class:column)
+    rows = d.select_by_classes(by_classes=["email"]).collect()
+    assert len(rows) == 3
+    keys = set(rows[0]["classified"].keys())
+    assert keys == {"email:email_1", "email:email_2"}
+    # delete must remove rows matching EITHER column, not just the last
+    summary, plans = d.delete_by_class(
+        "main.default.dup", "email", ["a@x.org"], yes_i_am_sure=True)
+    surviving = plans["main.default.dup"].collect()
+    assert [r["id"] for r in surviving] == [3]
+
+
+def test_delete_by_class_rejects_malformed_pattern(dx):
+    with pytest.raises(ValueError, match="catalog.schema.table"):
+        dx.delete_by_class("main.default", "email", ["a@b.org"],
+                           yes_i_am_sure=True)
