@@ -85,8 +85,19 @@ def conversation_fingerprints(turns: DataFrame) -> DataFrame:
     """Whole-conversation dedup key: md5 over the ordered turn fingerprints.
     Order-stable under any physical partitioning: turns are sorted by
     turn_idx inside the aggregation, not by arrival order."""
+    # null-text turns get a per-(conv, turn) sentinel: concat_ws SKIPS
+    # nulls, so a conversation differing only by a null-text turn would
+    # otherwise collide with one lacking that turn — and dedup would
+    # delete a distinct conversation.  The sentinel embeds the conv id,
+    # so a conversation containing missing text is never deleted as a
+    # duplicate of another (missing != missing, same principle as
+    # dedup_exact's per-row sentinel).
     per_turn = turns.select(
-        "conv_id", "turn_idx", fingerprint_expr("text").alias("fp"))
+        "conv_id", "turn_idx",
+        F.coalesce(fingerprint_expr("text"),
+                   F.concat(F.lit("__null__:"), F.col("conv_id"),
+                            F.lit(":"), F.col("turn_idx").cast("string")))
+        .alias("fp"))
     return (
         per_turn.groupBy("conv_id")
         .agg(F.sort_array(F.collect_list(F.struct("turn_idx", "fp"))).alias("ordered"))
@@ -134,9 +145,14 @@ def conversation_near_duplicates(turns: DataFrame, k: int = 16,
     banding + signature-agreement verification.  The signature struct is
     carried through the banding shuffle (see dedup.minhash_near_duplicates)
     so verification needs no re-join; hot buckets are capped."""
-    from .dedup import _bucket_pairs
+    from .dedup import _bucket_pairs, _validate_bands
 
-    sigs = conversation_minhash_signatures(turns, k, hash_mode)
+    _validate_bands(k, bands)
+    # a conversation whose EVERY turn has null text yields an all-null
+    # signature (min over no non-null hashes); such convs carry no
+    # content evidence and must not pair with each other
+    sigs = conversation_minhash_signatures(turns, k, hash_mode) \
+        .filter(F.col("mh_0").isNotNull())
     packed = sigs.select(
         "id", F.struct(*[F.col(f"mh_{i}").alias(f"m{i}")
                          for i in range(k)]).alias("sig"))
@@ -227,11 +243,15 @@ def conversation_turn_flags(turns: DataFrame) -> DataFrame:
     from ..scrub import scrub_text_expr
 
     tox_hits, _ = toxicity_exprs("text")
+    # null-text turns carry no evidence → flags coalesce to 0 (a NULL
+    # flag would make the conv-level SUM NULL for all-null conversations
+    # and keep_conversation NULL — invisible to both keep and ~keep)
     return turns.select(
         "conv_id", "turn_idx", "role",
-        (tox_hits > 0).cast("long").alias("is_toxic"),
-        (scrub_text_expr("text") != F.col("text"))
-        .cast("long").alias("has_pii"))
+        F.coalesce((tox_hits > 0).cast("long"), F.lit(0))
+        .alias("is_toxic"),
+        F.coalesce((scrub_text_expr("text") != F.col("text")).cast("long"),
+                   F.lit(0)).alias("has_pii"))
 
 
 def conversation_gates(turns: DataFrame, min_turns: int = 2,

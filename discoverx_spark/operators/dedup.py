@@ -277,6 +277,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
     defaults ON: with the default a mega-bucket of m rows emits O(m) star
     pairs instead of m²/2.  Pass ``max_bucket=None`` explicitly only for
     small oracle-parity inputs that need the exhaustive pair set."""
+    _validate_bands(k, bands)
     rows_per_band = k // bands
     band_cols = []
     for b in range(bands):
@@ -291,6 +292,15 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
                 .select("id", "band.band_idx", "band.band_hash"))
     return _bucket_pairs(exploded, key_cols=["band_idx", "band_hash"],
                          max_bucket=max_bucket)
+
+
+def _validate_bands(k: int, bands: int) -> None:
+    """bands must evenly divide k: ``k // bands == 0`` would hash EVERY
+    document into one global band bucket (md5 of an empty string) and a
+    non-dividing bands silently discards trailing signature rows."""
+    if bands < 1 or k % bands != 0:
+        raise ValueError(
+            f"bands must divide k evenly (got k={k}, bands={bands})")
 
 
 def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
@@ -318,9 +328,14 @@ def minhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
     column, so verification reads it straight off the pair rows — ONE
     shuffle total instead of banding + two signature re-joins (which also
     recomputed the signature fold three times; measured ~2× on sf0.1)."""
+    _validate_bands(k, bands)
     sh = shingles_expr(text_col, shingle_n)
-    base = df.select(F.col(id_col).alias("id"),
-                     minhash_struct_expr(sh, k, hash_mode).alias("sig"))
+    # null-text rows never generate candidates: shingles(null) collapses
+    # to [''] and every missing document would otherwise become an exact
+    # near-dup of every other (missing != missing, dedup_exact principle)
+    base = df.filter(F.col(text_col).isNotNull()) \
+        .select(F.col(id_col).alias("id"),
+                minhash_struct_expr(sh, k, hash_mode).alias("sig"))
     rows_per_band = k // bands
     band_cols = []
     for b in range(bands):
@@ -367,6 +382,22 @@ def contamination_check(corpus: DataFrame, benchmark: DataFrame,
     production to shrink the broadcast; the oracle-checked md5-free form
     compares gram strings directly."""
     bench_col = bench_text_col or text_col
+    # adaptive gram length (GPT-3 appendix-C style): an eval item shorter
+    # than n words would fall into shingles' whole-text fallback and only
+    # match corpus docs equal to it VERBATIM — a 10-word question quoted
+    # inside a 500-word training doc would pass undetected.  The
+    # benchmark is eval-set-sized, so the driver-side min is metadata
+    # scale.
+    min_len = benchmark.select(
+        F.min(F.size(tokens_expr(bench_col))).alias("m")).first()["m"]
+    if min_len is not None and 0 < min_len < n:
+        import warnings
+        warnings.warn(
+            f"contamination_check: shortest benchmark doc has {min_len} "
+            f"words < n={n}; lowering the gram length to {min_len} so "
+            f"short eval items embedded in longer corpus docs still match",
+            stacklevel=2)
+        n = min_len
     bench_grams = (benchmark
                    .select(F.explode(shingles_expr(bench_col, n))
                            .alias("gram"))
@@ -397,7 +428,9 @@ def incremental_lsh_pairs(index_sigs: DataFrame, new_sigs: DataFrame,
     Inputs are signature frames from :func:`minhash_signatures` (same k /
     hash family for both).  Returns (id_a, id_b) with id_a < id_b,
     distinct; within-batch pairs appear once."""
-    def band_frame(sigs: DataFrame, is_new: bool) -> DataFrame:
+    _validate_bands(k, bands)
+
+    def band_frame(sigs: DataFrame) -> DataFrame:
         rows_per_band = k // bands
         band_cols = []
         for b in range(bands):
@@ -411,9 +444,9 @@ def incremental_lsh_pairs(index_sigs: DataFrame, new_sigs: DataFrame,
                             F.explode(F.array(*band_cols)).alias("band"))
                 .select("id", "band.band_idx", "band.band_hash"))
 
-    all_bands = band_frame(index_sigs, False).unionByName(
-        band_frame(new_sigs, True))
-    probe = band_frame(new_sigs, True) \
+    all_bands = band_frame(index_sigs).unionByName(
+        band_frame(new_sigs))
+    probe = band_frame(new_sigs) \
         .withColumnRenamed("id", "new_id")
     if broadcast_new:
         probe = F.broadcast(probe)
@@ -613,8 +646,12 @@ def simhash_near_duplicates(df: DataFrame, text_col: str, id_col: str,
     n_blocks = max_hamming + 1
     if n_blocks > bits:
         raise ValueError("max_hamming + 1 block fields need bits >= blocks")
-    sims = df.select(F.col(id_col).alias("id"),
-                     simhash_expr(text_col, bits, hash_mode).alias("simhash"))
+    # null-text rows never generate candidates (empty token array yields
+    # the all-ones signature — every missing doc would pair with every
+    # other); missing != missing, dedup_exact principle
+    sims = df.filter(F.col(text_col).isNotNull()) \
+        .select(F.col(id_col).alias("id"),
+                simhash_expr(text_col, bits, hash_mode).alias("simhash"))
     width = bits // n_blocks
     block_keys = []
     for i in range(n_blocks):
@@ -687,10 +724,15 @@ def line_dedup(df: DataFrame, text_col: str, id_col: str,
     else:
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
     parts = F.split(F.col(text_col), "\n")
+    # FULL whitespace semantics ('\s'), not F.trim's ASCII-space-only: a
+    # CRLF corpus turns every blank line into '\r', which would both
+    # become the hottest key in the corpus AND get deleted everywhere but
+    # one global first occurrence — destroying paragraph structure
+    norm = F.regexp_replace(F.col("line"), r"^\s+|\s+$", "")
     lines = (df.select(F.col(id_col).alias("_ld_id"),
                        F.posexplode(parts).alias("pos", "line"))
-               .where(F.trim("line") != "")
-               .select("_ld_id", "pos", hf(F.trim("line")).alias("k")))
+               .where(norm != "")
+               .select("_ld_id", "pos", hf(norm).alias("k")))
     winners = (lines.groupBy("k")
                .agg(F.min(F.struct("_ld_id", "pos")).alias("w"),
                     F.count(F.lit(1)).alias("cnt"))
@@ -740,8 +782,13 @@ def incremental_exact_dedup(batch: DataFrame, index_fps: DataFrame,
     fingerprints — no rewrite."""
     from ..functions.text import fingerprint_expr
 
-    fps = batch.select(F.col(id_col).alias("_ie_id"),
-                       fingerprint_expr(text_col).alias("_ie_fp"))
+    # null-text rows pass through (per-row sentinel): fingerprint(null)
+    # is null, and a bare groupBy would collapse EVERY null-text row in
+    # the batch into one surviving min-id — same guard as dedup_exact
+    fp = F.coalesce(fingerprint_expr(text_col),
+                    F.concat(F.lit("__null__:"),
+                             F.col(id_col).cast("string")))
+    fps = batch.select(F.col(id_col).alias("_ie_id"), fp.alias("_ie_fp"))
     fresh = fps.join(
         index_fps.select(F.col(fp_col).alias("_ie_fp")), "_ie_fp",
         "left_anti")
@@ -770,11 +817,12 @@ def line_dedup_within(df: DataFrame, text_col: str,
     Returns ``(id, clean_text, n_lines, n_removed)``.
     """
     parts = F.split(F.col(text_col), "\n")
+    _norm = lambda c: F.regexp_replace(c, r"^\s+|\s+$", "")  # noqa: E731
     staged = (df.withColumn("_ldw_parts", parts)
-              .withColumn("_ldw_trim", F.transform(parts, F.trim)))
+              .withColumn("_ldw_trim", F.transform(parts, _norm)))
     kept = F.filter(
         F.col("_ldw_parts"),
-        lambda x, i: (F.trim(x) == "")
+        lambda x, i: (_norm(x) == "")
         | (F.array_position(F.col("_ldw_trim"),
                             F.get(F.col("_ldw_trim"), i)) == i + 1))
     return staged.select(

@@ -4,8 +4,8 @@ Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages.  The image/audio codec libraries are
 NOT available in this container (environment constraint), so the decode
-kernels are gated: if PIL/soundfile were importable they'd be used;
-otherwise a clearly-marked deterministic fake (byte-statistics + md5) keeps
+kernels are honest stubs: a clearly-marked deterministic fake
+(byte-statistics + sha256) keeps
 the Spark-side plumbing — schema, batching, partition flow, UDF
 signatures — real and testable.  ``strict=True`` raises NotImplementedError
 instead of faking, for callers that must not ship fake features.
@@ -29,14 +29,6 @@ IMAGE_FEATURES_SCHEMA = ("media_id long, width int, height int, "
 FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_sha256 string"
 
 
-def _codec_available() -> bool:
-    try:  # pragma: no cover - not installed in this environment
-        import PIL.Image  # noqa: F401
-        return True
-    except Exception:
-        return False
-
-
 def attach_fake_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFrame:
     """Deterministic synthetic payloads for tests: payload bytes derived
     from sha256 of the id (stable across runs/partitionings)."""
@@ -53,23 +45,36 @@ def attach_fake_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFr
 
 
 def decode_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
-    """Per-image features via mapInPandas. Real decode requires an image
-    codec (STUBBED here — see module docstring); the fake path computes
-    deterministic byte statistics with the exact production batch shape."""
-    use_real = _codec_available()
+    """Per-image features via mapInPandas. There is NO real decode path in
+    this repo (codec libraries are an environment constraint — module
+    docstring / LIMITATIONS §5); the fake kernel computes deterministic
+    byte statistics with the exact production batch shape.
+
+    ``strict=True`` ALWAYS raises: a merely-importable PIL does not make
+    the fake features real, so the honesty guard must not silently
+    disappear on machines where the import happens to succeed (and a
+    driver-side import probe can disagree with the executor environment
+    anyway)."""
+    if strict:
+        raise NotImplementedError(
+            "no real image decode is implemented (codec libraries are an "
+            "environment constraint); strict=True refuses the "
+            "fake-feature path — see LIMITATIONS §5")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict and not use_real:
-                raise NotImplementedError(
-                    "image decode requires PIL; not available in this "
-                    "environment (fake-feature path is default)")
             rows = []
             for mid, w, h, payload in zip(pdf["media_id"], pdf["meta_width"],
                                           pdf["meta_height"], pdf["payload"]):
+                if mid is None or pd.isna(mid):
+                    continue  # no identity, no feature row
                 b = bytes(payload) if payload is not None else b""
                 mean = (sum(b) / len(b)) if b else 0.0
-                rows.append((int(mid), int(w), int(h), float(mean),
+                # MEDIA_SCHEMA metadata is nullable: real rows with
+                # missing dims must not crash the task on int(None)
+                w_i = 0 if w is None or pd.isna(w) else int(w)
+                h_i = 0 if h is None or pd.isna(h) else int(h)
+                rows.append((int(mid), w_i, h_i, float(mean),
                              hashlib.sha256(b).hexdigest()))
             yield pd.DataFrame(rows, columns=["media_id", "width", "height",
                                               "mean_byte", "sha256"])
@@ -80,11 +85,15 @@ def decode_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
 def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Video frame sampling (STUB kernel, real batch plumbing): splits the
     payload into n deterministic chunks standing in for decoded frames."""
+    if n_frames < 1:
+        raise ValueError("n_frames must be >= 1")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if mid is None or pd.isna(mid):
+                    continue
                 b = bytes(payload) if payload is not None else b""
                 step = max(1, len(b) // n_frames)
                 for i in range(n_frames):

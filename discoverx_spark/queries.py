@@ -1264,8 +1264,9 @@ sp AS (SELECT page, string_split(text, chr(10)) AS parts FROM pages),
 lines AS (SELECT page, unnest(parts) AS line,
                  generate_subscripts(parts, 1) AS pos
           FROM sp),
-keyed AS (SELECT page, pos, md5(trim(line)) AS k
-          FROM lines WHERE trim(line) <> ''),
+keyed AS (SELECT page, pos,
+                 md5(regexp_replace(line, '^\s+|\s+$', '', 'g')) AS k
+          FROM lines WHERE regexp_replace(line, '^\s+|\s+$', '', 'g') <> ''),
 ranked AS (SELECT page, pos,
                   ROW_NUMBER() OVER (PARTITION BY k ORDER BY page, pos) AS rn,
                   COUNT(*) OVER (PARTITION BY k) AS cnt
@@ -2203,6 +2204,10 @@ FROM documents
 """
 
 _SQL_TURN_FP = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+# null-safe variant for the conversation-fingerprint oracles (mirrors the
+# operator's per-(conv, turn) sentinel; needs turn_idx in scope)
+_SQL_TURN_FP_NS = (f"COALESCE({_SQL_TURN_FP}, "
+                   "'__null__:' || conv_id || ':' || turn_idx)")
 
 
 def q_conversation_fingerprints(spark, sf_dir):
@@ -2213,7 +2218,7 @@ def q_conversation_fingerprints(spark, sf_dir):
 SQL_CONV_FINGERPRINTS = f"""
 WITH t AS ({_SQL_PSEUDO})
 SELECT conv_id,
-       md5(string_agg({_SQL_TURN_FP}, '|' ORDER BY turn_idx)) AS conv_fingerprint
+       md5(string_agg({_SQL_TURN_FP_NS}, '|' ORDER BY turn_idx)) AS conv_fingerprint
 FROM t GROUP BY conv_id
 """
 
@@ -2239,7 +2244,7 @@ t AS (
   FROM base WHERE conv_id < '00000050'),
 fps AS (
   SELECT conv_id,
-         md5(string_agg({_SQL_TURN_FP}, '|' ORDER BY turn_idx)) AS cfp
+         md5(string_agg({_SQL_TURN_FP_NS}, '|' ORDER BY turn_idx)) AS cfp
   FROM t GROUP BY conv_id),
 keep AS (SELECT MIN(conv_id) AS conv_id FROM fps GROUP BY cfp)
 SELECT t.* FROM t WHERE conv_id IN (SELECT conv_id FROM keep)
@@ -2414,12 +2419,14 @@ WITH aug AS (
   FROM documents),
 staged AS (
   SELECT doc_id, string_split(text, chr(10)) AS parts,
-         list_transform(string_split(text, chr(10)), x -> trim(x)) AS tr
+         list_transform(string_split(text, chr(10)),
+                        x -> regexp_replace(x, '^\s+|\s+$', '', 'g')) AS tr
   FROM aug),
 kept AS (
   SELECT doc_id, parts,
          list_filter(parts,
-                     (x, i) -> trim(x) = '' OR list_position(tr, tr[i]) = i)
+                     (x, i) -> regexp_replace(x, '^\s+|\s+$', '', 'g') = ''
+                               OR list_position(tr, tr[i]) = i)
            AS keep
   FROM staged)
 SELECT doc_id,
@@ -2545,9 +2552,9 @@ WITH t AS (SELECT * FROM (VALUES
 ) AS v(conv_id, turn_idx, role, text)),
 per AS (
   SELECT conv_id,
-         CAST(len(regexp_extract_all(lower(text), '{tox}', 1)) > 0 AS BIGINT)
-           AS is_toxic,
-         CAST({scrub} <> text AS BIGINT) AS has_pii,
+         COALESCE(CAST(len(regexp_extract_all(lower(text), '{tox}', 1)) > 0
+                       AS BIGINT), 0) AS is_toxic,
+         COALESCE(CAST({scrub} <> text AS BIGINT), 0) AS has_pii,
          CAST({lagr} IS NOT NULL AND {lagr} = role AS BIGINT) AS is_viol
   FROM t),
 agg AS (

@@ -441,3 +441,20 @@ def test_batched_assignment_matches_sql(embeddings, spark):
         b = bat_out[i]
         assert (b["centroid_id"], b["keep"]) == (r["centroid_id"],
                                                  r["keep"]), i
+
+
+def test_line_dedup_crlf_blank_lines_survive(spark):
+    from discoverx_spark.operators.dedup import line_dedup, line_dedup_within
+    # CRLF corpus: blank lines are '\r' after splitting on '\n' — they
+    # must be treated as blank (kept everywhere), not as the hottest
+    # duplicate line in the corpus
+    rows = [(1, "alpha\r\n\r\nbeta"), (2, "gamma\r\n\r\ndelta"),
+            (3, "alpha\r\nend")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, "text", "doc_id").collect()}
+    assert out[2]["clean_text"] == "gamma\r\n\r\ndelta"   # blanks intact
+    assert out[2]["n_removed"] == 0
+    assert out[3]["clean_text"] == "end"                  # real dup removed
+    w = {r["doc_id"]: r
+         for r in line_dedup_within(df, "text", "doc_id").collect()}
+    assert w[1]["n_removed"] == 0                         # blanks not dups
