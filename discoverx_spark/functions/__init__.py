@@ -2,14 +2,24 @@ from .text import (token_count_expr, bpe_token_estimate_expr, char_len_expr,
                    alpha_ratio_expr, digit_ratio_expr, punct_ratio_expr,
                    whitespace_only_expr, fingerprint_expr, normalize_text_expr,
                    langid_struct_expr, make_langid_udf, toxicity_exprs,
+                   quality_classifier_expr, quality_classifier_join,
+                   quality_classifier_frame,
                    LANG_STOPWORDS, TOXIC_KEYWORDS)
 from .perplexity import make_perplexity_udf, perplexity_of, CHAR_LM
+from .models import (save_char_lm, load_char_lm, save_term_weights,
+                     load_term_weights, save_stopwords, load_stopwords,
+                     broadcast_model)
 
 __all__ = [
+    "save_char_lm", "load_char_lm", "save_term_weights",
+    "load_term_weights", "save_stopwords", "load_stopwords",
+    "broadcast_model",
     "token_count_expr", "bpe_token_estimate_expr", "char_len_expr",
     "alpha_ratio_expr", "digit_ratio_expr", "punct_ratio_expr",
     "whitespace_only_expr", "fingerprint_expr", "normalize_text_expr",
     "langid_struct_expr", "make_langid_udf", "toxicity_exprs",
+    "quality_classifier_expr", "quality_classifier_join",
+    "quality_classifier_frame",
     "LANG_STOPWORDS", "TOXIC_KEYWORDS",
     "make_perplexity_udf", "perplexity_of", "CHAR_LM",
 ]

@@ -101,14 +101,28 @@ def perplexity_of(text: Optional[str]) -> float:
     return float(np.exp(-logp.sum() / logp.size))
 
 
-def make_perplexity_udf(lm: Optional[np.ndarray] = None):
+def make_perplexity_udf(lm: Optional[np.ndarray] = None, spark=None):
     """Arrow-batched perplexity UDF: ``text -> double``.  ``lm`` defaults
     to the embedded CHAR_LM; pass a corpus-trained matrix from
-    :func:`train_char_lm` to score against the corpus's own statistics."""
+    :func:`train_char_lm` — or one reloaded through the model seam
+    (``functions.models.load_char_lm(path)``) — to score against external
+    statistics with zero code change.
+
+    When ``spark`` is given the matrix ships to executors as a Spark
+    broadcast variable created once per (session, matrix) instead of
+    being re-pickled into every task closure — the reference's broadcast
+    pattern (presidio ex.:94-97); at 27×27 doubles the closure copy is
+    harmless, but a real KenLM-order table (10^6+ n-grams) is not."""
     lm_matrix = CHAR_LM if lm is None else lm
+    bcast = None
+    if spark is not None:
+        from .models import broadcast_model
+
+        key = f"char_lm_{hash(lm_matrix.tobytes())}"
+        bcast = broadcast_model(spark, key, lambda: lm_matrix)
 
     def batches(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        m = lm_matrix  # resolved once per worker
+        m = bcast.value if bcast is not None else lm_matrix
         for s in it:
             out = np.full(len(s), float(V), dtype=np.float64)
             for i, t in enumerate(s.tolist()):

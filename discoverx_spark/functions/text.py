@@ -109,26 +109,33 @@ LANG_STOPWORDS = {
 _LANG_ORDER = ["en", "de", "fr", "es"]
 
 
-def _stopword_hits_expr(col, lang: str) -> Column:
-    words = "|".join(LANG_STOPWORDS[lang])
+def _stopword_hits_expr(col, lang: str, tables=None) -> Column:
+    words = "|".join((tables or LANG_STOPWORDS)[lang])
     return F.size(F.regexp_extract_all(
         F.lower(_c(col)), F.lit(rf"(\b(?:{words})\b)"), 1))
 
 
-def langid_struct_expr(col) -> Column:
+def langid_struct_expr(col, stopwords: Optional[dict] = None) -> Column:
     """JVM-side language ID over {en,de,fr,es}: per-language stopword-hit
     density, argmax with fixed tie order, 'und' when nothing hits.
 
     Returns ``struct(lang string, lang_score double)``; score =
     hits(best)/tokens.  This is the SQL-expressible profile of the fastText
     role in the north rule; :func:`make_langid_udf` is the extended one.
+
+    ``stopwords`` overrides the embedded tables with an external export
+    ({lang: [word, ...]}, e.g. ``functions.models.load_stopwords(path)``);
+    tie order follows the dict's key order.
     """
+    order = list(stopwords) if stopwords is not None else _LANG_ORDER
     toks = F.greatest(token_count_expr(col), F.lit(1))
-    hits = {lang: _stopword_hits_expr(col, lang) for lang in _LANG_ORDER}
-    best_hits = F.greatest(*[hits[l] for l in _LANG_ORDER])
+    hits = {lang: _stopword_hits_expr(col, lang, stopwords)
+            for lang in order}
+    best_hits = F.greatest(*[hits[l] for l in order]) \
+        if len(order) > 1 else hits[order[0]]
     lang = F.lit("und")
     # reversed so earlier languages win ties via later overwrite
-    for l in reversed(_LANG_ORDER):
+    for l in reversed(order):
         lang = F.when((best_hits > 0) & (hits[l] == best_hits), F.lit(l)).otherwise(lang)
     score = (best_hits.cast("double") / toks.cast("double"))
     return F.struct(lang.alias("lang"), score.alias("lang_score"))
@@ -163,12 +170,19 @@ _SCRIPTS = [
 ]
 
 
-def make_langid_udf():
+def make_langid_udf(stopwords=None):
     """Arrow-batched language ID: script detection for non-Latin text,
-    stopword density for Latin text. Returns struct(lang, lang_score)."""
+    stopword density for Latin text. Returns struct(lang, lang_score).
+
+    ``stopwords`` overrides the embedded Latin-language tables with an
+    external export ({lang: [word, ...]} from
+    ``functions.models.load_stopwords``); key order sets the argmax tie
+    order — the seam a real lid-model token table drops into."""
     import pyspark.sql.types as T
 
-    stop_sets = {l: frozenset(ws) for l, ws in LANG_STOPWORDS.items()}
+    tables = stopwords if stopwords is not None else LANG_STOPWORDS
+    lang_order = list(stopwords) if stopwords is not None else _LANG_ORDER
+    stop_sets = {l: frozenset(ws) for l, ws in tables.items()}
 
     def _classify(text: Optional[str]):
         if text is None or not text.strip():
@@ -194,7 +208,7 @@ def make_langid_udf():
             return "und", 0.0
         scores = {l: sum(w.strip(".,;:!?\"'()") in s for w in words) / len(words)
                   for l, s in stop_sets.items()}
-        best = max(_LANG_ORDER, key=lambda l: scores[l])
+        best = max(lang_order, key=lambda l: scores[l])
         if scores[best] == 0:
             return "und", 0.0
         return best, min(1.0, scores[best] * 2)
@@ -393,6 +407,109 @@ def quality_classifier_sql(text_sql: str, weights: Optional[dict] = None,
              f"t -> {case})), (a, x) -> a + x)")
     n = f"greatest(len({toks}), 1)"
     return f"1.0 / (1.0 + exp(-({float(b)!r} + {total} / {n})))"
+
+
+# Above this vocabulary size the literal ``create_map`` formulation is an
+# anti-pattern: Catalyst constant-folds the whole table into the plan, so
+# a real fastText / DCLM export (10^5-10^6 terms) produces a plan-size /
+# codegen blowup.  ``quality_classifier_frame`` switches to the exploded
+# token ⋈ broadcast(term, weight) formulation at this threshold.
+QUALITY_CLF_BROADCAST_THRESHOLD = 2000
+
+
+def quality_classifier_join(df, id_col: str, text_col: str = "text",
+                            weights: Optional[dict] = None,
+                            bias: Optional[float] = None,
+                            out_col: str = "quality_prob"):
+    """Broadcast-join formulation of :func:`quality_classifier_expr` for
+    production-size vocabularies (10^5-10^6 terms).
+
+    ``sigmoid(bias + sum(weight[token] * count) / n_tokens)`` computed as
+
+    1. project ``(id, n_tokens, token)`` via ``posexplode`` — short rows,
+       the document text never rides the shuffle;
+    2. ``groupBy (id, token) → count`` (map-side partial agg collapses
+       duplicate tokens before the exchange);
+    3. inner-join ``broadcast((token, weight))`` — OOV tokens drop out of
+       the numerator but stay in the pre-computed denominator, matching
+       the literal path's fastText-style averaged bag;
+    4. per-doc total folded over the SORTED distinct-token contribution
+       list so the floating-point sum has a deterministic association
+       order across partitionings (same discipline as the literal path's
+       sorted-token fold);
+    5. left-join the scalar score back onto the input by ``id_col``.
+
+    Scale: one shuffle of (id, token, count) triples, one broadcast of
+    the weight table (a few MB at 10^6 terms), one id-keyed join of the
+    corpus — no million-entry plan literal, no per-row Python.
+
+    Note the numerator groups duplicate tokens (``weight * count``) while
+    the literal path adds ``weight`` once per occurrence; the two agree
+    to float round-off (parity-tested at 6 decimals), not bit-exactly.
+    """
+    w = weights if weights is not None else QUALITY_CLF_WEIGHTS
+    b = QUALITY_CLF_BIAS if bias is None else bias
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(w.items())],
+        "token string, weight double")
+    toks = F.array_sort(F.regexp_extract_all(
+        F.lower(_c(text_col)), F.lit(r"(\S+)"), 1))
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    exploded = base.select(
+        id_col,
+        F.size("_toks").alias("_n_tok"),
+        F.explode("_toks").alias("token"))
+    contribs = (
+        exploded
+        .groupBy(id_col, "_n_tok", "token")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .join(F.broadcast(wdf), "token")
+        .groupBy(id_col, "_n_tok")
+        .agg(F.aggregate(
+            F.array_sort(F.collect_list(F.struct(
+                F.col("token"),
+                (F.col("weight") * F.col("_cnt")).alias("_contrib")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["_contrib"]).alias("_total")))
+    # docs whose every token is OOV (or that are empty) vanish at the
+    # inner join — restore them with a zero numerator
+    n_tok = base.select(id_col, F.size("_toks").alias("_n_tok"))
+    scores = (
+        n_tok.join(contribs.drop("_n_tok"), id_col, "left")
+        .withColumn("_total", F.coalesce(F.col("_total"), F.lit(0.0))))
+    z = (F.lit(float(b))
+         + F.col("_total") / F.greatest(F.col("_n_tok"), F.lit(1))
+         .cast("double"))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return df.join(
+        scores.select(id_col, prob.alias(out_col)), id_col, "left")
+
+
+def quality_classifier_frame(df, id_col: str, text_col: str = "text",
+                             weights: Optional[dict] = None,
+                             bias: Optional[float] = None,
+                             out_col: str = "quality_prob",
+                             broadcast_threshold: int =
+                             QUALITY_CLF_BROADCAST_THRESHOLD):
+    """Score every row of ``df`` with the logistic bag-of-words quality
+    classifier, auto-selecting the formulation by vocabulary size:
+
+    - ``len(weights) <= broadcast_threshold`` → the literal-map JVM
+      expression (:func:`quality_classifier_expr`): zero shuffle, pure
+      projection, ideal for hand-curated rule vocabularies;
+    - larger → the exploded-token ⋈ broadcast(term, weight) plan
+      (:func:`quality_classifier_join`): no giant plan literal, right
+      for real fastText / DCLM exports.
+
+    Both paths emit ``out_col`` in [0, 1]; they are parity-tested to 6
+    decimals against each other and the DuckDB oracle.
+    """
+    w = weights if weights is not None else QUALITY_CLF_WEIGHTS
+    if len(w) <= broadcast_threshold:
+        return df.withColumn(
+            out_col, quality_classifier_expr(text_col, w, bias))
+    return quality_classifier_join(df, id_col, text_col, w, bias, out_col)
 
 
 # --------------------------------------------------------------------------

@@ -221,3 +221,69 @@ def test_quality_classifier_sql_escapes_quotes():
                                  bias=0.0)
     v = duckdb.connect().execute(f"SELECT {sql}").fetchone()[0]
     assert 0.0 < v < 1.0
+
+
+def test_quality_classifier_join_parity_with_literal(spark, sf_dir):
+    """The broadcast-join formulation agrees with the literal-map
+    expression to 6 decimals on real corpus text plus adversarial rows
+    (duplicate-heavy, OOV-only, empty)."""
+    from discoverx_spark.functions.text import (quality_classifier_expr,
+                                                quality_classifier_join)
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").limit(200))
+    extra = spark.createDataFrame(
+        [(100001, "the the the the cat cat dog"),
+         (100002, "zzz qqq xxyzzy"),
+         (100003, ""),
+         (100004, "free casino the cat free free")],
+        "doc_id long, text string")
+    df = docs.unionByName(extra)
+
+    lit_scores = {r["doc_id"]: r["p"] for r in df.select(
+        "doc_id",
+        F.round(quality_classifier_expr("text"), 6).alias("p")).collect()}
+    join_df = quality_classifier_join(df, "doc_id")
+    join_scores = {r["doc_id"]: round(r["quality_prob"], 6)
+                   for r in join_df.collect()}
+    assert set(lit_scores) == set(join_scores)
+    for k in lit_scores:
+        assert abs(lit_scores[k] - join_scores[k]) <= 1e-6, (
+            k, lit_scores[k], join_scores[k])
+
+
+def test_quality_classifier_frame_autoselects_by_vocab(spark):
+    """<=threshold terms → pure projection (no join in the plan);
+    >threshold terms → broadcast join with no mega create_map literal."""
+    from discoverx_spark.functions.text import quality_classifier_frame
+
+    df = spark.createDataFrame(
+        [(1, "term00000 term00001 unseen"), (2, "term99999 zzz")],
+        "doc_id long, text string")
+
+    small = quality_classifier_frame(df, "doc_id",
+                                     weights={"zzz": 1.0}, bias=0.0)
+    small_plan = small._sc._jvm.PythonSQLUtils.explainString(
+        small._jdf.queryExecution(), "formatted")
+    assert "Join" not in small_plan
+
+    vocab = {f"term{i:05d}": (i % 7 - 3) / 3.0 for i in range(100_000)}
+    big = quality_classifier_frame(df, "doc_id", weights=vocab, bias=0.0)
+    big_plan = big._sc._jvm.PythonSQLUtils.explainString(
+        big._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in big_plan or "BroadcastExchange" in big_plan
+    # a 100k-term vocabulary must NOT be constant-folded into the plan:
+    # the literal formulation would render every term into the plan text
+    assert "term05000" not in big_plan
+    assert len(big_plan) < 200_000
+
+    got = {r["doc_id"]: r["quality_prob"] for r in big.collect()}
+    import math
+
+    def ref(text):
+        toks = text.lower().split()
+        s = sum(vocab.get(t, 0.0) for t in toks)
+        return 1.0 / (1.0 + math.exp(-(s / max(len(toks), 1))))
+
+    assert abs(got[1] - ref("term00000 term00001 unseen")) < 1e-9
+    assert abs(got[2] - ref("term99999 zzz")) < 1e-9
