@@ -37,7 +37,8 @@ from .scrub import PII_CLASSES
 # row schema as WRITTEN by _append_lineage (the timestamp is added at
 # append time); the public constants derive from it so they cannot drift
 _LINEAGE_ROW_SCHEMA = ("partition_id string, status string, rows_in long, "
-                       "rows_kept long, rows_dropped long, error string")
+                       "rows_kept long, rows_dropped long, error string, "
+                       "snapshot_id long")
 LINEAGE_SCHEMA = _LINEAGE_ROW_SCHEMA + ", effective_timestamp timestamp"
 METRICS_SCHEMA = ("partition_id string, class_name string, score double, "
                   "effective_timestamp timestamp")
@@ -116,19 +117,31 @@ class ResumableRunner:
                  .filter(F.col("_rn") == 1).drop("_rn"))
         return m
 
-    def completed_partitions(self) -> set:
+    def completed_partitions(self, snapshot_id: Optional[int] = None) -> set:
+        """Partitions with a 'done' lineage row.  With ``snapshot_id``
+        given, only rows recorded against that input-table snapshot count
+        (time-travel-shaped resume: when the source Iceberg/parquet table
+        advances to a new snapshot, work done against older snapshots is
+        stale and gets reprocessed; legacy NULL-snapshot rows likewise
+        don't count)."""
         lin = self.lineage()
         if lin is None:
             return set()
+        if snapshot_id is not None:
+            if "snapshot_id" not in lin.columns:
+                return set()
+            lin = lin.filter(F.col("snapshot_id") == int(snapshot_id))
         rows = (lin.groupBy("partition_id")
                 .agg(F.max(F.when(F.col("status") == "done", 1).otherwise(0)).alias("ok"))
                 .filter(F.col("ok") == 1).collect())
         return {r["partition_id"] for r in rows}
 
     def _append_lineage(self, partition_id: str, status: str, rows_in: int,
-                        rows_kept: int, error: Optional[str]) -> None:
+                        rows_kept: int, error: Optional[str],
+                        snapshot_id: Optional[int] = None) -> None:
         row = [(partition_id, status, rows_in, rows_kept,
-                rows_in - rows_kept, error)]
+                rows_in - rows_kept, error,
+                None if snapshot_id is None else int(snapshot_id))]
         (self.spark.createDataFrame(row, _LINEAGE_ROW_SCHEMA)
          .withColumn("effective_timestamp", F.current_timestamp())
          .coalesce(1).write.mode("append").parquet(self.lineage_path))
@@ -141,13 +154,20 @@ class ResumableRunner:
     def run(self, input_path: str, output_path: str,
             cfg: PipelineConfig = PipelineConfig(),
             partitions: Optional[List[str]] = None,
-            fail_on: Optional[Callable[[str], bool]] = None) -> RunReport:
+            fail_on: Optional[Callable[[str], bool]] = None,
+            snapshot_id: Optional[int] = None) -> RunReport:
         """Process every pending partition of a ``part_id=``-layout dataset:
         decisions written to ``output_path/part_id=<v>``, lineage + metrics
         appended per partition.  ``fail_on`` is a test hook injecting
-        per-partition failures (error-isolation path)."""
+        per-partition failures (error-isolation path).
+
+        ``snapshot_id`` pins the run to an input-table snapshot (e.g.
+        ``ParquetTableFormat.current_snapshot_id`` or Iceberg's): resume
+        then skips only partitions completed against the SAME snapshot,
+        so advancing the source table invalidates stale work
+        automatically."""
         todo = partitions if partitions is not None else list_partitions(input_path)
-        done = self.completed_partitions()
+        done = self.completed_partitions(snapshot_id)
         report = RunReport(processed=[], skipped=[], failed={})
         for part in todo:
             if part in done:
@@ -165,13 +185,15 @@ class ResumableRunner:
                 decisions.write.mode("overwrite").parquet(
                     os.path.join(output_path, f"part_id={part}"))
                 self._append_metrics(self._partition_metrics(decisions, part))
-                self._append_lineage(part, "done", rows_in, rows_kept, None)
+                self._append_lineage(part, "done", rows_in, rows_kept, None,
+                                     snapshot_id)
                 report.processed.append(part)
             except Exception as e:  # per-partition isolation (scanner.py:241-243)
                 msg = str(e)[:500]
                 report.failed[part] = msg
                 try:
-                    self._append_lineage(part, "failed", 0, 0, msg)
+                    self._append_lineage(part, "failed", 0, 0, msg,
+                                         snapshot_id)
                 except Exception:
                     pass
         return report

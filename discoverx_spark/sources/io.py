@@ -17,9 +17,12 @@ from pyspark.sql import functions as F
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    try:  # pragma: no cover - iceberg jars absent in this environment
-        spark._jvm.org.apache.iceberg.Table  # noqa: B018
-        return True
+    # NB: attribute access on spark._jvm never raises — py4j hands back a
+    # lazy JavaPackage for any dotted name — so the class must actually be
+    # resolved via Class.forName to prove the jar is on the classpath
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")
+        return True  # pragma: no cover - iceberg jars absent here
     except Exception:
         return False
 
@@ -58,16 +61,13 @@ def write_partitioned(df: DataFrame, path: str,
 
 def merge_upsert(spark: SparkSession, new: DataFrame, path: str,
                  key_cols: List[str]) -> None:
-    """MERGE-upsert semantics over parquet (Delta/Iceberg MERGE INTO
-    analog, scanner.py:113-119): rows matching on key are replaced,
-    others preserved.  Only a genuinely missing path starts fresh — any
-    other read error propagates instead of silently clobbering state."""
-    from ..scanner import _read_parquet_if_exists
+    """MERGE-upsert semantics (Delta/Iceberg MERGE INTO analog,
+    scanner.py:113-119): rows matching on key are replaced, others
+    preserved.  Only a genuinely missing path starts fresh — any other
+    read error propagates instead of silently clobbering state.
 
-    old = _read_parquet_if_exists(spark, path)
-    if old is None:
-        merged = new
-    else:
-        merged = old.join(new.select(*key_cols), on=key_cols,
-                          how="left_anti").unionByName(new, allowMissingColumns=True)
-    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+    Delegates to the :class:`~.table_format.TableFormat` facade — the
+    seam where a real Iceberg MERGE INTO drops in."""
+    from .table_format import DEFAULT_FORMAT
+
+    DEFAULT_FORMAT.merge(spark, new, path, key_cols)
