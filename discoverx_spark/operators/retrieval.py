@@ -59,7 +59,12 @@ def bm25_topk(df: DataFrame, text_col: str, id_col: str,
     Returns (id, score, rank) with a deterministic total order (score
     desc rounded, id asc).  The postings filter (``term isin query``)
     sits directly on the exploded scan, so only query-term postings are
-    aggregated — the inverted-index probe, not a full-corpus score."""
+    aggregated — the inverted-index probe, not a full-corpus score.
+
+    For a SUITE of queries (benchmark decontamination screens thousands)
+    use :func:`bm25_topk_batch` — this function's two scalar collects
+    (N/avgdl, per-term df) are correct at any corpus scale but cost
+    3×|queries| job launches when looped."""
     q_terms = sorted(set(query.lower().split()))
     if not q_terms:
         raise ValueError("query has no terms")
@@ -102,6 +107,71 @@ def bm25_topk(df: DataFrame, text_col: str, id_col: str,
             .orderBy(F.desc("score"), F.asc("id")).limit(k))
     w = Window.orderBy(F.desc("score"), F.asc("id"))
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+def bm25_topk_batch(df: DataFrame, text_col: str, id_col: str,
+                    queries_df: DataFrame,
+                    query_id_col: str = "query_id",
+                    query_text_col: str = "query",
+                    k: int = 10, k1: float = K1, b: float = B,
+                    round_digits: int = 6) -> DataFrame:
+    """Top-k per query for a whole DataFrame of queries in ONE job.
+
+    :func:`bm25_topk` pays three driver round-trips per query (N/avgdl
+    collect, per-term df collect, then the scored job) — scalar-sized
+    and correct at any corpus scale, but a decontamination-style batch
+    of thousands of benchmark queries multiplies the job-launch latency
+    by 3×|queries|.  Here every statistic stays a DataFrame:
+
+    * query terms (set semantics per query, like the single-query path)
+      are collected once into ONE broadcast — queries are the small side
+      by definition;
+    * corpus N/avgdl is a 1-row aggregate cross-broadcast onto the
+      postings (no collect);
+    * per-term document frequencies are computed for the union of all
+      query terms in the same pass and broadcast back onto the postings;
+    * one ``groupBy (query, doc)`` with the same sorted-term sequential
+      fold as the single-query path (bit-identical doubles), then a
+      per-query row_number window keeps ranks ≤ k.
+
+    Returns (query_id, id, score, rank) — per query, identical rows to
+    ``bm25_topk(df, ..., query)`` (parity-tested).  This is the API the
+    contamination workflow should drive when screening a benchmark
+    suite: thousands of queries, one Spark job.
+    """
+    qt = (queries_df.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(tokens_sql_expr(query_text_col)).alias("term"))
+        .distinct())
+    stats = doc_lengths(df, text_col, id_col)
+    corpus = stats.agg(F.count("*").alias("_n"), F.avg("dl").alias("_avgdl"))
+    # postings probe: only terms appearing in ANY query survive the scan
+    terms = qt.select("term").distinct()
+    tf = term_frequencies(df, text_col, id_col) \
+        .join(F.broadcast(terms), on="term")
+    dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("_df"))
+    scored = (
+        tf.join(F.broadcast(qt), on="term")
+        .join(F.broadcast(dfreq), on="term")
+        .join(stats, on="id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("_idf", F.log(
+            F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5)
+            / (F.col("_df") + 0.5)))
+        .withColumn(
+            "_s",
+            F.col("_idf") * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl"))))
+        .groupBy("query_id", "id")
+        .agg(F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "_s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_s"]).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (scored.select("query_id", "id",
+                          F.round("score", round_digits).alias("score"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
 
 
 def tfidf_weights(df: DataFrame, text_col: str, id_col: str,

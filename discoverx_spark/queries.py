@@ -1184,6 +1184,66 @@ WHERE rank <= {_BM25_K}
 """
 
 
+# the decontamination-workflow shape: a whole benchmark suite of queries
+# screened in ONE job (operators/retrieval.py:bm25_topk_batch)
+_BM25_BATCH = [(1, _BM25_QUERY), (2, "query join filter"),
+               (3, "spark data pipeline")]
+
+
+def q_bm25_topk_batch_documents(spark, sf_dir):
+    """Batched Okapi BM25: top-10 per query for a 3-query suite in one
+    Spark job — zero per-query driver collects (corpus stats and term
+    dfs stay DataFrames, query terms ride one broadcast)."""
+    from .operators.retrieval import bm25_topk_batch
+    docs = _t(spark, sf_dir, "documents").repartition(32)
+    qdf = spark.createDataFrame(_BM25_BATCH, "query_id long, query string")
+    return bm25_topk_batch(docs, "text", "doc_id", qdf, k=_BM25_K)
+
+
+def _sql_bm25_topk_batch() -> str:
+    values = ", ".join(f"(CAST({i} AS BIGINT), '{q}')"
+                       for i, q in _BM25_BATCH)
+    return rf"""
+WITH queries(query_id, query) AS (VALUES {values}),
+toks AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '(\S+)', 1) AS t
+  FROM documents),
+stats AS (SELECT id, len(t) AS dl FROM toks),
+corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM stats),
+qt AS (
+  SELECT DISTINCT query_id, term FROM
+    (SELECT query_id,
+            unnest(regexp_extract_all(lower(query), '(\S+)', 1)) AS term
+     FROM queries)),
+tf AS (
+  SELECT id, term, count(*) AS tf FROM
+    (SELECT id, unnest(t) AS term FROM toks)
+  WHERE term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY id, term),
+dfreq AS (SELECT term, count(DISTINCT id) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT qt.query_id, tf.id, tf.term,
+         ln(1 + (corpus.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * stats.dl / corpus.avgdl)) AS s
+  FROM tf
+  JOIN qt USING (term) JOIN dfreq USING (term) JOIN stats USING (id)
+  CROSS JOIN corpus),
+scored AS (
+  SELECT query_id, id,
+         list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+                     (a, x) -> a + x) AS score
+  FROM contrib GROUP BY query_id, id)
+SELECT query_id, id, round(score, 6) AS score, CAST(rank AS INTEGER) AS rank
+FROM (SELECT query_id, id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(score, 6) DESC, id ASC)
+               AS rank
+      FROM scored)
+WHERE rank <= {_BM25_K}
+"""
+
+
 _DECON_N = 13
 
 
@@ -2875,6 +2935,8 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "incremental_lsh_pairs": (q_incremental_lsh_pairs,
                               _sql_incremental_lsh_pairs()),
     "bm25_topk_documents": (q_bm25_topk_documents, _sql_bm25_topk()),
+    "bm25_topk_batch_documents": (q_bm25_topk_batch_documents,
+                                  _sql_bm25_topk_batch()),
     "sparse_neardup_documents": (q_sparse_neardup_documents,
                                  _sql_sparse_neardup()),
     "compression_ratio_transcripts": (q_compression_ratio_transcripts,
@@ -2962,6 +3024,7 @@ _NEVER_CERTIFIED = [
     "scrub_by_class_roundtrip",
     "incremental_lsh_pairs",
     "bm25_topk_documents",
+    "bm25_topk_batch_documents",
     "sparse_neardup_documents",
     "compression_ratio_transcripts",
     "contamination_check",

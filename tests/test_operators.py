@@ -458,3 +458,29 @@ def test_line_dedup_crlf_blank_lines_survive(spark):
     w = {r["doc_id"]: r
          for r in line_dedup_within(df, "text", "doc_id").collect()}
     assert w[1]["n_removed"] == 0                         # blanks not dups
+
+
+def test_bm25_batch_matches_single_query(spark, sf_dir):
+    """bm25_topk_batch over 3 queries reproduces bm25_topk per query
+    exactly (same sorted-term fold, same rounded ranking) — with zero
+    per-query driver collects and one broadcast of the query terms."""
+    from discoverx_spark.operators.retrieval import bm25_topk, bm25_topk_batch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = [(1, "table scan merge"), (2, "query join filter"),
+               (3, "spark data pipeline")]
+    qdf = spark.createDataFrame(queries, "query_id long, query string")
+    batch = bm25_topk_batch(docs, "text", "doc_id", qdf, k=5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["id"], r["score"]))
+    for qid, qtext in queries:
+        single = [(r["rank"], r["id"], r["score"]) for r in
+                  bm25_topk(docs, "text", "doc_id", qtext, k=5).collect()]
+        assert sorted(got[qid]) == sorted(single), qid
+    # plan: the batch job never collects corpus stats to the driver —
+    # query terms, dfs, and N/avgdl all ride broadcasts
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
