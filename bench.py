@@ -52,7 +52,11 @@ HEADLINE = [
     # semantic entry is the production-shaped bench twin (64 cells,
     # hot-cluster cap ON); the exhaustive max_cluster=None variant is the
     # oracle query, not a headline.
-    "line_dedup_documents", "semantic_dedup_sf",
+    # both centroid-assignment kernels tracked: "semantic_dedup_sf" is
+    # the batched numpy-matmul production path, "_sql" the pure-JVM twin
+    "line_dedup_documents", "semantic_dedup_sf", "semantic_dedup_sql_sf",
+    # round-4: batched BM25 (one job for a whole query suite)
+    "bm25_topk_batch_documents",
 ]
 
 

@@ -2513,6 +2513,20 @@ def q_semantic_dedup_sf(spark, sf_dir):
                           threshold=0.99, assign_method="batched")
 
 
+def q_semantic_dedup_sql_sf(spark, sf_dir):
+    """Bench-only twin of :func:`q_semantic_dedup_sf` with the pure-JVM
+    ``assign_method="sql"`` centroid assignment — timed alongside the
+    batched numpy-matmul path so both assignment kernels carry tracked
+    numbers (they are equality-tested in test_operators)."""
+    from .operators.similarity import semantic_dedup
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    both = emb.unionByName(
+        emb.filter(F.col("vec_id") < 50)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
+    return semantic_dedup(both, emb.filter(F.col("vec_id") < 64),
+                          threshold=0.99, assign_method="sql")
+
+
 def q_incremental_exact_dedup(spark, sf_dir):
     """Daily-crawl update path: dedup a new batch (docs 250+ plus planted
     clones) against an existing fingerprint index (docs < 300) — already-
