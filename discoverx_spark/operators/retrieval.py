@@ -143,17 +143,32 @@ def bm25_topk_batch(df: DataFrame, text_col: str, id_col: str,
         F.col(query_id_col).alias("query_id"),
         F.explode(tokens_sql_expr(query_text_col)).alias("term"))
         .distinct())
-    stats = doc_lengths(df, text_col, id_col)
-    corpus = stats.agg(F.count("*").alias("_n"), F.avg("dl").alias("_avgdl"))
-    # postings probe: only terms appearing in ANY query survive the scan
     terms = qt.select("term").distinct()
-    tf = term_frequencies(df, text_col, id_col) \
-        .join(F.broadcast(terms), on="term")
-    dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("_df"))
+    base = df.select(F.col(id_col).alias("id"),
+                     tokens_sql_expr(text_col).alias("_t"))
+    corpus = (base.select(F.coalesce(F.size("_t"), F.lit(0))
+                          .cast("long").alias("dl"))
+              .agg(F.count("*").alias("_n"), F.avg("dl").alias("_avgdl")))
+    # postings probe BEFORE the shuffle (broadcast semi-filter on the
+    # scan, the batch analog of the single-query isin pushdown), with the
+    # doc length carried inline so no separate lengths join is needed
+    # one term-keyed shuffle feeds BOTH the tf aggregation (term ⊂ the
+    # group keys, so hashpartitioning(term) satisfies the clustered
+    # distribution) and the per-term document-frequency window below —
+    # df-per-term needs the full term shuffle anyway, so pre-partitioning
+    # here costs nothing extra and removes a second exchange
+    tf = (base.select("id",
+                      F.coalesce(F.size("_t"), F.lit(0))
+                      .cast("long").alias("dl"),
+                      F.explode("_t").alias("term"))
+          .join(F.broadcast(terms), on="term")
+          .repartition("term")
+          .groupBy("id", "dl", "term").agg(F.count("*").alias("tf")))
+    # per-term document frequency as a window over rows already unique in
+    # (id, term) — reuses the term partitioning, no groupBy + re-join
     scored = (
-        tf.join(F.broadcast(qt), on="term")
-        .join(F.broadcast(dfreq), on="term")
-        .join(stats, on="id")
+        tf.withColumn("_df", F.count("*").over(Window.partitionBy("term")))
+        .join(F.broadcast(qt), on="term")
         .crossJoin(F.broadcast(corpus))
         .withColumn("_idf", F.log(
             F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5)

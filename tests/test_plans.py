@@ -155,6 +155,10 @@ def test_registry_wide_plan_budgets(spark):
         "incremental_lsh_pairs": 8,
         # inverted-index self-join + norms joins + per-pair fold
         "sparse_neardup_documents": 9,
+        # 3 real shuffles (term partition shared by tf-agg + df-window,
+        # (query,doc) groupBy, per-query rank window) + 3 broadcasts
+        # (query terms, qt, corpus stats) with their tiny upstream aggs
+        "bm25_topk_batch_documents": 9,
         # two ranking windows (probe selection + final top-k) + assign
         "ivf_topk": 8,
         # history top-2 window + two op streams + full-outer + dim joins
