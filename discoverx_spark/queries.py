@@ -1465,6 +1465,52 @@ FROM documents
 """
 
 
+def q_quality_classifier_join_documents(spark, sf_dir):
+    """The BROADCAST-JOIN classifier formulation (functions/text.py:
+    quality_classifier_join) — the production path for 10^5-10^6-term
+    fastText/DCLM exports where the literal-map plan would blow up —
+    certified against a DuckDB rendering of the same exploded-token ⋈
+    (term, weight) join, grouped-count numerator, sorted contribution
+    fold, and all-token denominator."""
+    from .functions.text import quality_classifier_join
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = quality_classifier_join(docs, "doc_id")
+    return (out.select("doc_id",
+                       F.round("quality_prob", 6).alias("quality_prob"))
+            .withColumn("predicted_keep", F.col("quality_prob") >= 0.5))
+
+
+def _sql_quality_classifier_join() -> str:
+    from .functions.text import QUALITY_CLF_BIAS, QUALITY_CLF_WEIGHTS
+    values = ", ".join(
+        "('{}', {!r})".format(k.replace("'", "''"),
+                              float(QUALITY_CLF_WEIGHTS[k]))
+        for k in sorted(QUALITY_CLF_WEIGHTS))
+    return rf"""
+WITH w(token, weight) AS (VALUES {values}),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '(\S+)', 1) AS t
+  FROM documents),
+n AS (SELECT doc_id, greatest(len(t), 1) AS n_tok FROM toks),
+cnt AS (
+  SELECT doc_id, token, count(*) AS c FROM
+    (SELECT doc_id, unnest(t) AS token FROM toks)
+  GROUP BY doc_id, token),
+contrib AS (
+  SELECT cnt.doc_id,
+         list_reduce(list_prepend(0.0, list(cnt.c * w.weight
+                                            ORDER BY cnt.token)),
+                     (a, x) -> a + x) AS total
+  FROM cnt JOIN w USING (token) GROUP BY cnt.doc_id),
+prob AS (
+  SELECT n.doc_id,
+         round(1.0 / (1.0 + exp(-({float(QUALITY_CLF_BIAS)!r}
+               + coalesce(contrib.total, 0.0) / n.n_tok))), 6) AS p
+  FROM n LEFT JOIN contrib USING (doc_id))
+SELECT doc_id, p AS quality_prob, p >= 0.5 AS predicted_keep FROM prob
+"""
+
+
 _CR_CONVS = 60
 
 
@@ -2962,6 +3008,8 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
                                   _sql_semantic_dedup()),
     "quality_classifier_documents": (q_quality_classifier_documents,
                                      _sql_quality_classifier()),
+    "quality_classifier_join_documents": (q_quality_classifier_join_documents,
+                                          _sql_quality_classifier_join()),
     "html_extract_documents": (q_html_extract_documents,
                                _sql_html_extract()),
     "domain_blocklist_documents": (q_domain_blocklist_documents,
@@ -3045,6 +3093,7 @@ _NEVER_CERTIFIED = [
     "line_dedup_documents",
     "semantic_dedup_embeddings",
     "quality_classifier_documents",
+    "quality_classifier_join_documents",
     "html_extract_documents",
     "domain_blocklist_documents",
     "length_quantiles_documents",

@@ -159,6 +159,9 @@ def test_registry_wide_plan_budgets(spark):
         # (query,doc) groupBy, per-query rank window) + 3 broadcasts
         # (query terms, qt, corpus stats) with their tiny upstream aggs
         "bm25_topk_batch_documents": 9,
+        # (id, token) groupBy + per-doc fold groupBy + all-OOV restore
+        # left join + id-keyed join back onto the input + weight broadcast
+        "quality_classifier_join_documents": 6,
         # two ranking windows (probe selection + final top-k) + assign
         "ivf_topk": 8,
         # history top-2 window + two op streams + full-outer + dim joins
