@@ -119,7 +119,11 @@ def make_perplexity_udf(lm: Optional[np.ndarray] = None, spark=None):
         from .models import broadcast_model
 
         key = f"char_lm_{hash(lm_matrix.tobytes())}"
-        bcast = broadcast_model(spark, key, lambda: lm_matrix)
+        bcast = broadcast_model(spark, key, lambda m=lm_matrix: m)
+        # drop the direct reference: a closure free variable is pickled
+        # into EVERY task regardless of which branch runs, which would
+        # ship the full matrix per task and defeat the broadcast
+        lm_matrix = None
 
     def batches(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         m = bcast.value if bcast is not None else lm_matrix

@@ -110,7 +110,18 @@ _LANG_ORDER = ["en", "de", "fr", "es"]
 
 
 def _stopword_hits_expr(col, lang: str, tables=None) -> Column:
-    words = "|".join((tables or LANG_STOPWORDS)[lang])
+    import re as _re
+
+    # external tables arrive through the stopwords seam: escape regex
+    # metacharacters ("c++" must not be an invalid pattern, "e.g." must
+    # not match "eXgY") and lowercase to match the lowered text.  An
+    # empty word list would compile to (\b(?:)\b), which matches EVERY
+    # word boundary and makes that language win argmax on every document
+    # (same hazard toxicity_pattern documents) — reject it.
+    raw = (tables or LANG_STOPWORDS)[lang]
+    if not raw:
+        raise ValueError(f"empty stopword list for language {lang!r}")
+    words = "|".join(_re.escape(w.lower()) for w in raw)
     return F.size(F.regexp_extract_all(
         F.lower(_c(col)), F.lit(rf"(\b(?:{words})\b)"), 1))
 
@@ -182,7 +193,10 @@ def make_langid_udf(stopwords=None):
 
     tables = stopwords if stopwords is not None else LANG_STOPWORDS
     lang_order = list(stopwords) if stopwords is not None else _LANG_ORDER
-    stop_sets = {l: frozenset(ws) for l, ws in tables.items()}
+    # lowercase so external tables with mixed-case tokens still match the
+    # lowercased words (the membership test below is case-sensitive)
+    stop_sets = {l: frozenset(w.lower() for w in ws)
+                 for l, ws in tables.items()}
 
     def _classify(text: Optional[str]):
         if text is None or not text.strip():
@@ -453,19 +467,18 @@ def quality_classifier_join(df, id_col: str, text_col: str = "text",
     wdf = spark.createDataFrame(
         [(k, float(v)) for k, v in sorted(w.items())],
         "token string, weight double")
-    toks = F.array_sort(F.regexp_extract_all(
-        F.lower(_c(text_col)), F.lit(r"(\S+)"), 1))
+    # no array sort here: explode + groupBy make token order irrelevant,
+    # and determinism comes from the sorted fold over the collected
+    # distinct-token structs below
+    toks = F.regexp_extract_all(F.lower(_c(text_col)), F.lit(r"(\S+)"), 1)
     base = df.select(F.col(id_col), toks.alias("_toks"))
-    exploded = base.select(
-        id_col,
-        F.size("_toks").alias("_n_tok"),
-        F.explode("_toks").alias("token"))
+    exploded = base.select(id_col, F.explode("_toks").alias("token"))
     contribs = (
         exploded
-        .groupBy(id_col, "_n_tok", "token")
+        .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .join(F.broadcast(wdf), "token")
-        .groupBy(id_col, "_n_tok")
+        .groupBy(id_col)
         .agg(F.aggregate(
             F.array_sort(F.collect_list(F.struct(
                 F.col("token"),
@@ -473,15 +486,19 @@ def quality_classifier_join(df, id_col: str, text_col: str = "text",
             F.lit(0.0),
             lambda acc, s: acc + s["_contrib"]).alias("_total")))
     # docs whose every token is OOV (or that are empty) vanish at the
-    # inner join — restore them with a zero numerator
+    # inner join — restore them with a zero numerator; NULL text stays
+    # NULL-scored (matching the literal path, where the fold over a NULL
+    # token array yields NULL)
     n_tok = base.select(id_col, F.size("_toks").alias("_n_tok"))
     scores = (
-        n_tok.join(contribs.drop("_n_tok"), id_col, "left")
+        n_tok.join(contribs, id_col, "left")
         .withColumn("_total", F.coalesce(F.col("_total"), F.lit(0.0))))
     z = (F.lit(float(b))
          + F.col("_total") / F.greatest(F.col("_n_tok"), F.lit(1))
          .cast("double"))
-    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    prob = F.when(
+        F.col("_n_tok").isNull(), F.lit(None).cast("double")
+    ).otherwise(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
     return df.join(
         scores.select(id_col, prob.alias(out_col)), id_col, "left")
 

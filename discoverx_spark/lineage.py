@@ -93,7 +93,13 @@ class ResumableRunner:
         # silent full reprocess (with duplicate lineage/metrics appends)
         from pyspark.errors import AnalysisException
         try:
-            return self.spark.read.parquet(self.lineage_path)
+            # mergeSchema: a state_dir written before snapshot-id
+            # tracking has 6-column files alongside new 7-column appends;
+            # without schema merge an arbitrary footer wins and the
+            # snapshot_id column nondeterministically disappears,
+            # silently reprocessing every partition on pinned resume
+            return (self.spark.read.option("mergeSchema", "true")
+                    .parquet(self.lineage_path))
         except AnalysisException:
             return None
 

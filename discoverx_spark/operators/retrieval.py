@@ -139,6 +139,18 @@ def bm25_topk_batch(df: DataFrame, text_col: str, id_col: str,
     contamination workflow should drive when screening a benchmark
     suite: thousands of queries, one Spark job.
     """
+    # a termless query would silently vanish from the output (explode
+    # emits no rows), which a decontamination caller would read as "no
+    # overlaps found" — fail loudly instead, matching the single-query
+    # path's ValueError.  queries_df is the small side by definition, so
+    # this is one tiny driver job, not a corpus scan.
+    bad = (queries_df.filter(
+        F.coalesce(F.size(tokens_sql_expr(query_text_col)), F.lit(0)) == 0)
+        .select(query_id_col).limit(5).collect())
+    if bad:
+        raise ValueError(
+            "queries with no terms: "
+            f"{[r[query_id_col] for r in bad]}")
     qt = (queries_df.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(tokens_sql_expr(query_text_col)).alias("term"))

@@ -3108,7 +3108,12 @@ def _reorder_for_driver_window(
     registry: Dict[str, Tuple[QueryFn, Optional[str]]],
 ) -> Dict[str, Tuple[QueryFn, Optional[str]]]:
     front = [n for n in _NEVER_CERTIFIED if n in registry]
-    front += [n for n in _SENTINELS if n in registry and n not in front]
+    # sentinels fill only the REMAINING window slots — never-certified
+    # entries always take priority, and a sentinel pushed past the window
+    # would falsely advertise continuity it does not get
+    room = max(0, DRIVER_WINDOW - len(front))
+    front += [n for n in _SENTINELS
+              if n in registry and n not in front][:room]
     seen = set(front)
     order = front + [n for n in registry if n not in seen]
     return {n: registry[n] for n in order}

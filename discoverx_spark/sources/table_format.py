@@ -100,19 +100,28 @@ class ParquetTableFormat(TableFormat):
         return sid
 
     def snapshots(self, spark: SparkSession, location: str) -> DataFrame:
+        # ONLY a genuinely missing log means "no snapshots yet" — any
+        # other read error must propagate: swallowing it would restart
+        # snapshot ids at 1 and break the monotonic-id contract pinned
+        # resume depends on (same policy as lineage()/merge_upsert)
+        from pyspark.errors import AnalysisException
+
         path = self._log_path(location)
         try:
             return spark.read.parquet(path)
-        except Exception:
+        except AnalysisException:
             return spark.createDataFrame([], _SNAPSHOT_SCHEMA)
 
     # -- data ---------------------------------------------------------------
     def read(self, spark: SparkSession, location: str) -> DataFrame:
-        return spark.read.parquet(location)
+        # mergeSchema is a READ-side option for parquet: appends may have
+        # widened the schema with new nullable columns, and without it an
+        # arbitrary footer's schema wins (the 'append tolerates schema
+        # widening' contract would silently not hold)
+        return spark.read.option("mergeSchema", "true").parquet(location)
 
     def append(self, df: DataFrame, location: str) -> None:
-        (df.write.mode("append").option("mergeSchema", "true")
-         .parquet(location))
+        df.write.mode("append").parquet(location)
         self._record(df.sparkSession, location, "append")
 
     def overwrite(self, df: DataFrame, location: str) -> None:

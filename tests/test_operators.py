@@ -484,3 +484,16 @@ def test_bm25_batch_matches_single_query(spark, sf_dir):
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_batch_rejects_termless_queries(spark, sf_dir):
+    import pytest
+
+    from discoverx_spark.operators.retrieval import bm25_topk_batch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qdf = spark.createDataFrame(
+        [(1, "table scan"), (2, "   "), (3, None)],
+        "query_id long, query string")
+    with pytest.raises(ValueError, match="queries with no terms"):
+        bm25_topk_batch(docs, "text", "doc_id", qdf, k=5)

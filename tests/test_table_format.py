@@ -118,3 +118,38 @@ def test_lineage_snapshot_resume(spark, tmp_path):
     # unpinned resume still sees the partitions as done (legacy behavior)
     r4 = runner.run(src, out)
     assert len(r4.skipped) == 4
+
+
+def test_lineage_mixed_schema_snapshot_resume(spark, tmp_path):
+    """A state_dir whose first lineage files predate snapshot-id tracking
+    (no snapshot_id column) must still support pinned resume after the
+    upgrade — the lineage read merges schemas across files."""
+    from pyspark.sql import functions as F
+
+    from discoverx_spark.lineage import ResumableRunner, write_bucketed
+    from discoverx_spark.transcripts import generate_transcripts
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    write_bucketed(generate_transcripts(spark, 8, seed=5), src, n_buckets=2)
+    runner = ResumableRunner(spark, str(tmp_path / "state"))
+
+    # legacy 6-column row (pre-upgrade layout) written directly
+    legacy = spark.createDataFrame(
+        [("0", "done", 10, 10, 0, None)],
+        "partition_id string, status string, rows_in long, rows_kept long, "
+        "rows_dropped long, error string").withColumn(
+            "effective_timestamp", F.current_timestamp())
+    legacy.coalesce(1).write.mode("append").parquet(runner.lineage_path)
+
+    # unpinned resume: legacy 'done' row counts
+    assert runner.completed_partitions() == {"0"}
+    # pinned resume: legacy NULL-snapshot rows never count
+    assert runner.completed_partitions(snapshot_id=7) == set()
+
+    r = runner.run(src, out, snapshot_id=7)
+    assert sorted(r.processed) == ["0", "1"]
+    # both column layouts coexist in the dir; pinned resume still works
+    assert runner.completed_partitions(snapshot_id=7) == {"0", "1"}
+    r2 = runner.run(src, out, snapshot_id=7)
+    assert len(r2.skipped) == 2 and not r2.processed

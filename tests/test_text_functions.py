@@ -287,3 +287,55 @@ def test_quality_classifier_frame_autoselects_by_vocab(spark):
 
     assert abs(got[1] - ref("term00000 term00001 unseen")) < 1e-9
     assert abs(got[2] - ref("term99999 zzz")) < 1e-9
+
+
+def test_quality_classifier_null_text_parity(spark):
+    """NULL text scores NULL on BOTH classifier formulations — the join
+    path must not resurrect dropped rows as sigmoid(bias)."""
+    from discoverx_spark.functions.text import (quality_classifier_expr,
+                                                quality_classifier_join)
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "the cat"), (3, "")],
+        "doc_id long, text string")
+    lit = {r["doc_id"]: r["p"] for r in df.select(
+        "doc_id", quality_classifier_expr("text").alias("p")).collect()}
+    jn = {r["doc_id"]: r["quality_prob"] for r in
+          quality_classifier_join(df, "doc_id").collect()}
+    assert lit[1] is None and jn[1] is None
+    assert abs(lit[2] - jn[2]) < 1e-9
+    assert abs(lit[3] - jn[3]) < 1e-9  # empty text = sigmoid(bias), not null
+
+
+def test_langid_external_stopwords_escaped(spark):
+    """External tables with regex metacharacters / mixed case must not
+    produce invalid or always-matching patterns."""
+    import pytest
+
+    from discoverx_spark.functions.text import (langid_struct_expr,
+                                                make_langid_udf)
+
+    df = spark.createDataFrame(
+        [(1, "code in c++ is fun"), (2, "plain words here")],
+        "doc_id long, text string")
+    custom = {"xx": ["c++", "E.g."], "yy": ["plain"]}
+    got = {r["doc_id"]: r["l"]["lang"] for r in df.select(
+        "doc_id", langid_struct_expr("text", stopwords=custom).alias("l"),
+    ).collect()}
+    # "c++" must COMPILE (escaped, not an invalid pattern); it cannot
+    # match under the \b guards (no word boundary after '+'), so doc 1 is
+    # simply unclassified rather than crashing every executor
+    assert got[1] == "und" and got[2] == "yy"
+    # "e.g." must not match "eXgY"-shaped text via an unescaped dot
+    df2 = spark.createDataFrame([(1, "east egg")], "doc_id long, text string")
+    r = df2.select(langid_struct_expr(
+        "text", stopwords={"xx": ["e.g."], "yy": ["egg"]}).alias("l")).first()
+    assert r["l"]["lang"] == "yy"
+    with pytest.raises(ValueError, match="empty stopword list"):
+        df.select(langid_struct_expr(
+            "text", stopwords={"xx": []}).alias("l"))
+    # UDF path: mixed-case external tokens are lowercased for membership
+    u = df.select(make_langid_udf(
+        stopwords={"xx": ["C++", "FUN"], "yy": ["plain"]})("text")
+        .alias("l")).collect()
+    assert u[0]["l"]["lang"] == "xx"
