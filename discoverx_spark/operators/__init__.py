@@ -11,8 +11,11 @@ from .dedup import (tokens_expr, shingles_expr, exact_duplicates, dedup_exact,
                     jaccard_pairs, simhash_expr, simhash_near_duplicates,
                     connected_components, dedup_clusters)
 from .packing import pack_sequences, token_counts, top_tokens
-from .retrieval import (bm25_topk, doc_lengths, sparse_near_duplicates,
-                        term_frequencies, tfidf_weights)
+from .retrieval import (bm25_topk, bm25_topk_batch, doc_lengths,
+                        sparse_near_duplicates, term_frequencies,
+                        tfidf_weights)
+from .dsir import (ngram_bucket_features_expr, bucket_histogram,
+                   dsir_log_weights, dsir_resample)
 from .sampling import (cap_per_group, domain_blocklist_filter, hash_sample,
                        mixing_rates, split_train_holdout,
                        stratified_hash_sample)
@@ -41,6 +44,8 @@ __all__ = [
     "line_dedup", "semantic_dedup", "domain_blocklist_filter",
     "incremental_exact_dedup", "line_dedup_within",
     "mixing_rates", "ivf_assign_batched",
-    "bm25_topk", "term_frequencies", "doc_lengths",
+    "bm25_topk", "bm25_topk_batch", "term_frequencies", "doc_lengths",
     "tfidf_weights", "sparse_near_duplicates",
+    "ngram_bucket_features_expr", "bucket_histogram",
+    "dsir_log_weights", "dsir_resample",
 ]

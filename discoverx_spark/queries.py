@@ -1244,6 +1244,111 @@ WHERE rank <= {_BM25_K}
 """
 
 
+# DSIR importance resampling (operators/dsir.py): target = every 10th
+# document, raw = the whole corpus; md5 bucket family for oracle parity
+_DSIR_BUCKETS = 512
+_DSIR_ALPHA = 0.5
+_DSIR_K = 25
+
+
+def q_dsir_weights_documents(spark, sf_dir):
+    """DSIR importance log-weights (Xie et al. 2023): every raw document
+    scored by how target-like its hashed n-gram (unigram+bigram)
+    distribution is — Σ_b c_b·(ln p_t[b] − ln p_r[b]) with add-α
+    multinomials over md5-hashed buckets, folded in sorted bucket order."""
+    from .operators.dsir import dsir_log_weights
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 10 == 3)
+    w = dsir_log_weights(docs, target, "text", "doc_id",
+                         buckets=_DSIR_BUCKETS, alpha=_DSIR_ALPHA,
+                         hash_mode="md5")
+    return w.select(F.col("id").alias("doc_id"),
+                    F.round("log_weight", 6).alias("log_weight"))
+
+
+def q_dsir_resample_documents(spark, sf_dir):
+    """Gumbel-top-k DSIR selection: the k documents sampled without
+    replacement ∝ w(x), with hash-derived (deterministic, resumable,
+    oracle-reproducible) Gumbel noise."""
+    from .operators.dsir import dsir_resample
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 10 == 3)
+    out = dsir_resample(docs, target, "text", "doc_id", k=_DSIR_K,
+                        buckets=_DSIR_BUCKETS, alpha=_DSIR_ALPHA,
+                        hash_mode="md5")
+    return out.select(F.col("id").alias("doc_id"), "log_weight", "score",
+                      F.col("rank").cast("int").alias("rank"))
+
+
+def _sql_dsir_grams(table: str = "documents") -> str:
+    """(doc_id, bucket) exploded hashed n-gram features — DuckDB
+    rendering of ngram_bucket_features_expr (md5 family)."""
+    return rf"""
+  SELECT doc_id, ('0x'||substr(md5(g), 1, 8))::BIGINT % {_DSIR_BUCKETS}
+           AS bucket
+  FROM (
+    SELECT doc_id, unnest(list_concat(
+             t, list_transform(range(1, greatest(len(t), 1)),
+                               i -> t[i] || ' ' || t[i+1]))) AS g
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '(\S+)', 1) AS t
+          FROM {table}))
+"""
+
+
+def _sql_dsir_weights_core() -> str:
+    """Unrounded (doc_id, log_weight) — shared by the weights oracle and
+    the resample oracle so score = round(raw_lw + gumbel) matches the
+    Spark side (which also perturbs the unrounded weight)."""
+    ab = _DSIR_ALPHA * _DSIR_BUCKETS
+    return rf"""
+WITH grams AS ({_sql_dsir_grams()}),
+hist_r AS (SELECT bucket, count(*) AS cr FROM grams GROUP BY bucket),
+hist_t AS (SELECT bucket, count(*) AS ct FROM grams
+           WHERE doc_id % 10 = 3 GROUP BY bucket),
+tot AS (SELECT (SELECT sum(cr) FROM hist_r) AS tr,
+               (SELECT coalesce(sum(ct), 0) FROM hist_t) AS tt),
+ratio AS (
+  SELECT hist_r.bucket,
+         ln(coalesce(hist_t.ct, 0) + {_DSIR_ALPHA}) - ln(tot.tt + {ab})
+         - ln(hist_r.cr + {_DSIR_ALPHA}) + ln(tot.tr + {ab}) AS lr
+  FROM hist_r LEFT JOIN hist_t USING (bucket) CROSS JOIN tot),
+doc_buckets AS (
+  SELECT doc_id, bucket, count(*) AS cb FROM grams GROUP BY doc_id, bucket),
+folded AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0.0, list(cb * lr ORDER BY bucket)),
+                     (a, x) -> a + x) AS log_weight
+  FROM doc_buckets JOIN ratio USING (bucket) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(folded.log_weight, 0.0) AS log_weight
+FROM documents d LEFT JOIN folded USING (doc_id)
+"""
+
+
+def _sql_dsir_weights() -> str:
+    return rf"""
+SELECT doc_id, round(log_weight, 6) AS log_weight
+FROM ({_sql_dsir_weights_core()})
+"""
+
+
+def _sql_dsir_resample() -> str:
+    return rf"""
+WITH lw AS ({_sql_dsir_weights_core()}),
+scored AS (
+  SELECT doc_id, round(log_weight, 6) AS log_weight,
+         round(log_weight + (
+           -ln(-ln(((('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#dsir'),
+                      1, 8))::BIGINT) + 0.5) / {float(2 ** 32)!r}))
+         ), 6) AS score
+  FROM lw)
+SELECT doc_id, log_weight, score, CAST(rank AS INTEGER) AS rank
+FROM (SELECT doc_id, log_weight, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {_DSIR_K}
+"""
+
+
 _DECON_N = 13
 
 
@@ -2997,6 +3102,10 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "bm25_topk_documents": (q_bm25_topk_documents, _sql_bm25_topk()),
     "bm25_topk_batch_documents": (q_bm25_topk_batch_documents,
                                   _sql_bm25_topk_batch()),
+    "dsir_weights_documents": (q_dsir_weights_documents,
+                               _sql_dsir_weights()),
+    "dsir_resample_documents": (q_dsir_resample_documents,
+                                _sql_dsir_resample()),
     "sparse_neardup_documents": (q_sparse_neardup_documents,
                                  _sql_sparse_neardup()),
     "compression_ratio_transcripts": (q_compression_ratio_transcripts,
@@ -3087,6 +3196,8 @@ _NEVER_CERTIFIED = [
     "incremental_lsh_pairs",
     "bm25_topk_documents",
     "bm25_topk_batch_documents",
+    "dsir_weights_documents",
+    "dsir_resample_documents",
     "sparse_neardup_documents",
     "compression_ratio_transcripts",
     "contamination_check",

@@ -497,3 +497,52 @@ def test_bm25_batch_rejects_termless_queries(spark, sf_dir):
         "query_id long, query string")
     with pytest.raises(ValueError, match="queries with no terms"):
         bm25_topk_batch(docs, "text", "doc_id", qdf, k=5)
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Documents sharing the target's vocabulary must get higher
+    importance weights than documents that don't; weights are
+    deterministic across recomputation."""
+    from discoverx_spark.operators.dsir import dsir_log_weights, dsir_resample
+
+    target_like = "spark shuffle partition join broadcast executor"
+    other = "banana apple cherry mango papaya kiwi"
+    rows = ([(i, target_like) for i in range(10)]
+            + [(100 + i, other) for i in range(10)])
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(1000 + i, target_like) for i in range(5)],
+        "doc_id long, text string")
+    w = {r["id"]: r["log_weight"] for r in
+         dsir_log_weights(raw, target, "text", "doc_id",
+                          buckets=256).collect()}
+    assert min(w[i] for i in range(10)) > max(w[100 + i] for i in range(10))
+
+    sel = dsir_resample(raw, target, "text", "doc_id", k=8, buckets=256)
+    picked = [r["id"] for r in sel.collect()]
+    assert len(picked) == 8
+    # ∝ w selection with these extreme weights: target-like docs dominate
+    assert sum(1 for i in picked if i < 100) >= 6
+    # deterministic: identical second run (hash-derived Gumbel noise)
+    again = [r["id"] for r in
+             dsir_resample(raw, target, "text", "doc_id", k=8,
+                           buckets=256).collect()]
+    assert picked == again
+
+
+def test_dsir_empty_and_short_docs(spark):
+    """Empty/whitespace/1-token docs flow through (no bigrams, unigrams
+    only; empty docs score 0 via the restore join)."""
+    from discoverx_spark.operators.dsir import dsir_log_weights
+
+    raw = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "solo"), (4, "two words")],
+        "doc_id long, text string")
+    target = spark.createDataFrame([(9, "two words")],
+                                   "doc_id long, text string")
+    w = {r["id"]: r["log_weight"] for r in
+         dsir_log_weights(raw, target, "text", "doc_id",
+                          buckets=64).collect()}
+    assert set(w) == {1, 2, 3, 4}
+    assert w[1] == 0.0 and w[2] == 0.0
+    assert w[4] > w[3]

@@ -162,6 +162,11 @@ def test_registry_wide_plan_budgets(spark):
         # (id, token) groupBy + per-doc fold groupBy + all-OOV restore
         # left join + id-keyed join back onto the input + weight broadcast
         "quality_classifier_join_documents": 6,
+        # two B-bounded histogram groupBys + two 1-row total aggs (each a
+        # SinglePartition exchange + broadcast), ratio broadcast, per-doc
+        # (id,bucket) groupBy + fold groupBy + empty-doc restore join —
+        # every shuffle bounded by B buckets or one row per doc
+        "dsir_weights_documents": 13, "dsir_resample_documents": 13,
         # two ranking windows (probe selection + final top-k) + assign
         "ivf_topk": 8,
         # history top-2 window + two op streams + full-outer + dim joins
