@@ -55,8 +55,10 @@ HEADLINE = [
     # both centroid-assignment kernels tracked: "semantic_dedup_sf" is
     # the batched numpy-matmul production path, "_sql" the pure-JVM twin
     "line_dedup_documents", "semantic_dedup_sf", "semantic_dedup_sql_sf",
-    # round-4: batched BM25 (one job for a whole query suite)
-    "bm25_topk_batch_documents",
+    # round-4: batched BM25 (one job for a whole query suite), DSIR
+    # importance resampling, and join-based Stupid Backoff LM scoring
+    "bm25_topk_batch_documents", "dsir_resample_documents",
+    "stupid_backoff_documents",
 ]
 
 

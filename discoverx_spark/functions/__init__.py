@@ -9,8 +9,10 @@ from .perplexity import make_perplexity_udf, perplexity_of, CHAR_LM
 from .models import (save_char_lm, load_char_lm, save_term_weights,
                      load_term_weights, save_stopwords, load_stopwords,
                      broadcast_model)
+from .ngram_lm import word_ngram_counts, stupid_backoff_score
 
 __all__ = [
+    "word_ngram_counts", "stupid_backoff_score",
     "save_char_lm", "load_char_lm", "save_term_weights",
     "load_term_weights", "save_stopwords", "load_stopwords",
     "broadcast_model",

@@ -1,0 +1,167 @@
+"""Word n-gram language model with Stupid Backoff — the KenLM role at
+corpus scale, with the MODEL AS A DATAFRAME.
+
+Stupid Backoff (Brants et al. 2007, "Large Language Models in Machine
+Translation" — a public method designed for distributed MapReduce-style
+LMs) scores a word by relative frequency at the longest seen order and
+backs off with a fixed penalty λ instead of normalized discounting:
+
+    S(w | w₋₂ w₋₁) = c(w₋₂ w₋₁ w) / c(w₋₂ w₋₁)           if trigram seen
+                   = λ · c(w₋₁ w) / c(w₋₁)                elif bigram seen
+                   = λ² · c(w) / N                        elif unigram seen
+                   = λ² · 0.5 / N                         else (OOV floor)
+
+Per-document score: ``sb_ppl = exp(−mean(ln S))`` over every position
+(leading positions score with whatever context exists — the token array
+is left-padded with nulls, so backoff handles the document start without
+special cases).
+
+Spark shape — this is the part KenLM cannot do and Spark does naturally:
+
+* **Training** is one vocabulary-shaped aggregation per order:
+  explode n-grams → ``groupBy(gram)`` with map-side combine, shuffle
+  bounded by distinct-n-gram count.  The counts DataFrame **is** the
+  model: persist with plain parquet, prune with a ``min_count`` filter,
+  re-load anywhere (the same save/load seam as functions/models.py).
+* **Scoring** is join-based and 100% JVM-side: the position frame
+  (id, pos, w₋₂, w₋₁, w) left-joins the (pruned, broadcastable) count
+  tables; one ``coalesce`` chain implements backoff; a sorted-position
+  fold gives a deterministic float sum.  No Python worker ever sees the
+  model — at 10⁵-10⁶ retained n-grams the count tables broadcast in a
+  few MB, and the corpus text itself never shuffles.
+
+The trigram key joins guarantee referential soundness: a seen trigram
+implies its context bigram is seen (the prefix of every counted n-gram
+was also counted), so the relative-frequency divisions never hit NULL
+denominators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SB_LAMBDA = 0.4
+SB_OOV_NUMERATOR = 0.5
+
+
+def _tokens(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(r"(\S+)"), 1)
+
+
+def word_ngram_counts(df: DataFrame, text_col: str, order: int = 3,
+                      min_count: int = 1) -> DataFrame:
+    """(gram, n, cnt) counts for all orders 1..``order`` — the trained
+    model, as a DataFrame.  One explode + map-side-combined groupBy per
+    order, unioned; the shuffle is bounded by the distinct-n-gram count,
+    never the corpus size.  ``min_count`` prunes the long tail (entropy
+    pruning's cheap cousin): pruning only REMOVES grams, so backoff
+    soundness (prefix-of-counted-gram-is-counted) is preserved as long
+    as the same threshold applies to every order."""
+    if order < 1:
+        raise ValueError("order must be >= 1")
+    toks = _tokens(text_col)
+    parts = []
+    for n in range(1, order + 1):
+        if n == 1:
+            grams: Column = toks
+        else:
+            joined = toks
+            for j in range(1, n):
+                joined = F.zip_with(
+                    joined, F.slice(toks, j + 1, F.greatest(F.size(toks),
+                                                            F.lit(1))),
+                    lambda a, b: F.concat(a, F.lit(" "), b))
+            sz = F.size(toks) - n + 1
+            grams = F.when(sz >= 1, F.slice(joined, 1, sz)) \
+                .otherwise(F.slice(toks, 1, 0))
+        parts.append(
+            df.select(F.explode(grams).alias("gram"))
+            .groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+            .select("gram", F.lit(n).alias("n"), "cnt"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.filter(F.col("cnt") >= min_count)
+
+
+def stupid_backoff_score(df: DataFrame, text_col: str, id_col: str,
+                         counts: DataFrame,
+                         lam: float = SB_LAMBDA) -> DataFrame:
+    """(id, sb_ppl, n_tokens) — per-document Stupid Backoff perplexity
+    against a ``word_ngram_counts`` model, entirely JVM-side.
+
+    The position frame is built BEFORE exploding (arrays_zip of the
+    null-left-padded token array with its shifts — never per-element
+    lambdas over the outer array, which Catalyst would inline and
+    re-tokenize per position), so each exploded row carries only
+    (id, pos, w₋₂, w₋₁, w).  The count tables join broadcast; the
+    per-doc mean folds ln S in position order (deterministic float
+    association, the BM25/classifier policy).  Empty docs yield
+    ``sb_ppl = NULL`` with ``n_tokens = 0``."""
+    c1 = counts.filter(F.col("n") == 1).select(
+        F.col("gram").alias("_g1"), F.col("cnt").alias("_c1"))
+    c2 = counts.filter(F.col("n") == 2).select(
+        F.col("gram").alias("_g2"), F.col("cnt").alias("_c2"))
+    c3 = counts.filter(F.col("n") == 3).select(
+        F.col("gram").alias("_g3"), F.col("cnt").alias("_c3"))
+    total = c1.agg(F.sum("_c1").alias("_n_total"))
+
+    toks = _tokens(text_col)
+    padded = F.concat(F.array(F.lit(None).cast("string"),
+                              F.lit(None).cast("string")), toks)
+    n = F.size(toks)
+    zipped = F.arrays_zip(
+        F.slice(padded, 1, F.greatest(n, F.lit(1))).alias("w2"),
+        F.slice(padded, 2, F.greatest(n, F.lit(1))).alias("w1"),
+        F.slice(padded, 3, F.greatest(n, F.lit(1))).alias("w"))
+    rows = (df.select(F.col(id_col).alias("id"), n.alias("_n"),
+                      F.posexplode(F.when(n >= 1, zipped)
+                                   .otherwise(F.slice(zipped, 1, 0)))
+                      .alias("pos", "s")))
+    rows = rows.select(
+        "id", "pos",
+        F.col("s.w2").alias("_w2"), F.col("s.w1").alias("_w1"),
+        F.col("s.w").alias("_w"))
+    tri = F.when(F.col("_w2").isNotNull(),
+                 F.concat_ws(" ", "_w2", "_w1", "_w"))
+    ctx2 = F.when(F.col("_w2").isNotNull(), F.concat_ws(" ", "_w2", "_w1"))
+    big = F.when(F.col("_w1").isNotNull(), F.concat_ws(" ", "_w1", "_w"))
+    scored = (
+        rows
+        .withColumn("_tri", tri).withColumn("_ctx2", ctx2)
+        .withColumn("_big", big)
+        .join(F.broadcast(c3), F.col("_tri") == F.col("_g3"), "left")
+        .join(F.broadcast(c2.select(F.col("_g2").alias("_g2a"),
+                                    F.col("_c2").alias("_c2a"))),
+              F.col("_ctx2") == F.col("_g2a"), "left")
+        .join(F.broadcast(c2), F.col("_big") == F.col("_g2"), "left")
+        .join(F.broadcast(c1.select(F.col("_g1").alias("_g1a"),
+                                    F.col("_c1").alias("_c1a"))),
+              F.col("_w1") == F.col("_g1a"), "left")
+        .join(F.broadcast(c1), F.col("_w") == F.col("_g1"), "left")
+        .crossJoin(F.broadcast(total)))
+    lam2 = float(lam) * float(lam)
+    s = F.when(F.col("_c3").isNotNull(),
+               F.col("_c3") / F.col("_c2a")) \
+        .when(F.col("_c2").isNotNull(),
+              F.lit(float(lam)) * F.col("_c2") / F.col("_c1a")) \
+        .when(F.col("_c1").isNotNull(),
+              F.lit(lam2) * F.col("_c1") / F.col("_n_total")) \
+        .otherwise(F.lit(lam2 * SB_OOV_NUMERATOR) / F.col("_n_total"))
+    per_doc = (scored.select("id", "pos", F.log(s).alias("_ls"))
+               .groupBy("id")
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.aggregate(
+                        F.array_sort(F.collect_list(
+                            F.struct("pos", "_ls"))),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["_ls"]).alias("_sum")))
+    ids = df.select(F.col(id_col).alias("id"))
+    return (ids.join(per_doc, "id", "left")
+            .select("id",
+                    F.exp(-F.col("_sum")
+                          / F.col("n_tokens").cast("double"))
+                    .alias("sb_ppl"),
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens")))

@@ -1244,6 +1244,112 @@ WHERE rank <= {_BM25_K}
 """
 
 
+# Stupid Backoff word n-gram LM (functions/ngram_lm.py): trained on the
+# corpus itself, scored join-based with the model as a DataFrame
+_SB_MIN_COUNT = 2
+
+
+def q_ngram_lm_counts_documents(spark, sf_dir):
+    """Distributed word-trigram LM training (the KenLM 'train on your
+    corpus' role at scale): (gram, n, cnt) for orders 1-3 with the
+    min_count=2 prune — one vocabulary-bounded groupBy per order."""
+    from .functions.ngram_lm import word_ngram_counts
+    docs = _t(spark, sf_dir, "documents")
+    return word_ngram_counts(docs, "text", order=3,
+                             min_count=_SB_MIN_COUNT) \
+        .select("gram", F.col("n").cast("int").alias("n"), "cnt")
+
+
+def _sql_ngram_grams(n: int) -> str:
+    if n == 1:
+        return "SELECT doc_id, unnest(t) AS gram FROM toks"
+    if n == 2:
+        return ("SELECT doc_id, unnest(list_transform(range(1, len(t)), "
+                "i -> t[i] || ' ' || t[i+1])) AS gram FROM toks")
+    return ("SELECT doc_id, unnest(list_transform(range(1, len(t) - 1), "
+            "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram "
+            "FROM toks")
+
+
+def _sql_ngram_lm_counts() -> str:
+    orders = " UNION ALL ".join(
+        f"SELECT gram, {n} AS n, count(*) AS cnt FROM ({_sql_ngram_grams(n)})"
+        f" GROUP BY gram" for n in (1, 2, 3))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '(\S+)', 1) AS t
+  FROM documents)
+SELECT gram, CAST(n AS INTEGER) AS n, cnt
+FROM ({orders}) WHERE cnt >= {_SB_MIN_COUNT}
+"""
+
+
+def q_stupid_backoff_documents(spark, sf_dir):
+    """Per-document Stupid Backoff perplexity against the corpus's own
+    trigram model — join-based scoring with zero Python (the model is a
+    broadcast DataFrame, the backoff is a coalesce chain, the per-doc
+    mean folds in position order)."""
+    from .functions.ngram_lm import stupid_backoff_score, word_ngram_counts
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # materialize the model once (production persists it as parquet and
+    # scans it back; without this the scorer's five join branches each
+    # re-run the training aggregation)
+    counts = word_ngram_counts(docs, "text", order=3,
+                               min_count=_SB_MIN_COUNT) \
+        .localCheckpoint(eager=True)
+    out = stupid_backoff_score(docs, "text", "doc_id", counts)
+    return out.select(F.col("id").alias("doc_id"),
+                      F.round("sb_ppl", 6).alias("sb_ppl"),
+                      F.col("n_tokens").cast("int").alias("n_tokens"))
+
+
+def _sql_stupid_backoff() -> str:
+    lam, lam2 = 0.4, 0.16
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '(\S+)', 1) AS t
+  FROM documents),
+counts AS ({_sql_ngram_lm_counts()}),
+c1 AS (SELECT gram, cnt FROM counts WHERE n = 1),
+c2 AS (SELECT gram, cnt FROM counts WHERE n = 2),
+c3 AS (SELECT gram, cnt FROM counts WHERE n = 3),
+total AS (SELECT sum(cnt) AS n_total FROM c1),
+pos AS (
+  SELECT doc_id, i, t[i] AS w,
+         CASE WHEN i >= 2 THEN t[i-1] END AS w1,
+         CASE WHEN i >= 3 THEN t[i-2] END AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)),
+scored AS (
+  SELECT pos.doc_id, pos.i,
+         ln(CASE
+              WHEN c3.cnt IS NOT NULL THEN c3.cnt / c2ctx.cnt
+              WHEN c2.cnt IS NOT NULL THEN {lam} * c2.cnt / c1ctx.cnt
+              WHEN c1.cnt IS NOT NULL
+                THEN {lam2} * c1.cnt / total.n_total
+              ELSE {lam2} * 0.5 / total.n_total
+            END) AS ls
+  FROM pos
+  LEFT JOIN c3 ON pos.w2 IS NOT NULL
+              AND c3.gram = pos.w2 || ' ' || pos.w1 || ' ' || pos.w
+  LEFT JOIN c2 c2ctx ON pos.w2 IS NOT NULL
+                    AND c2ctx.gram = pos.w2 || ' ' || pos.w1
+  LEFT JOIN c2 ON pos.w1 IS NOT NULL
+              AND c2.gram = pos.w1 || ' ' || pos.w
+  LEFT JOIN c1 c1ctx ON c1ctx.gram = pos.w1
+  LEFT JOIN c1 ON c1.gram = pos.w
+  CROSS JOIN total),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         list_reduce(list_prepend(0.0, list(ls ORDER BY i)),
+                     (a, x) -> a + x) AS s
+  FROM scored GROUP BY doc_id)
+SELECT d.doc_id,
+       round(exp(-per_doc.s / per_doc.n_tokens), 6) AS sb_ppl,
+       CAST(coalesce(per_doc.n_tokens, 0) AS INTEGER) AS n_tokens
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
 # DSIR importance resampling (operators/dsir.py): target = every 10th
 # document, raw = the whole corpus; md5 bucket family for oracle parity
 _DSIR_BUCKETS = 512
@@ -3102,6 +3208,10 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "bm25_topk_documents": (q_bm25_topk_documents, _sql_bm25_topk()),
     "bm25_topk_batch_documents": (q_bm25_topk_batch_documents,
                                   _sql_bm25_topk_batch()),
+    "ngram_lm_counts_documents": (q_ngram_lm_counts_documents,
+                                  _sql_ngram_lm_counts()),
+    "stupid_backoff_documents": (q_stupid_backoff_documents,
+                                 _sql_stupid_backoff()),
     "dsir_weights_documents": (q_dsir_weights_documents,
                                _sql_dsir_weights()),
     "dsir_resample_documents": (q_dsir_resample_documents,
@@ -3196,6 +3306,8 @@ _NEVER_CERTIFIED = [
     "incremental_lsh_pairs",
     "bm25_topk_documents",
     "bm25_topk_batch_documents",
+    "ngram_lm_counts_documents",
+    "stupid_backoff_documents",
     "dsir_weights_documents",
     "dsir_resample_documents",
     "sparse_neardup_documents",

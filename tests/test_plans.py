@@ -167,6 +167,9 @@ def test_registry_wide_plan_budgets(spark):
         # (id,bucket) groupBy + fold groupBy + empty-doc restore join —
         # every shuffle bounded by B buckets or one row per doc
         "dsir_weights_documents": 13, "dsir_resample_documents": 13,
+        # five broadcast count-table joins + total agg + per-doc fold
+        # groupBy + empty-doc restore join (model checkpointed once)
+        "stupid_backoff_documents": 9,
         # two ranking windows (probe selection + final top-k) + assign
         "ivf_topk": 8,
         # history top-2 window + two op streams + full-outer + dim joins

@@ -339,3 +339,69 @@ def test_langid_external_stopwords_escaped(spark):
         stopwords={"xx": ["C++", "FUN"], "yy": ["plain"]})("text")
         .alias("l")).collect()
     assert u[0]["l"]["lang"] == "xx"
+
+
+def test_stupid_backoff_hand_computed(spark):
+    """Backoff arithmetic checked against hand-computed relative
+    frequencies on a tiny corpus (trigram hit, bigram backoff, unigram
+    backoff, OOV floor, document-start padding)."""
+    import math
+
+    from discoverx_spark.functions.ngram_lm import (stupid_backoff_score,
+                                                    word_ngram_counts)
+
+    train = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b d")],
+        "doc_id long, text string")
+    counts = word_ngram_counts(train, "text", order=3, min_count=1)
+    got_counts = {(r["gram"], r["n"]): r["cnt"] for r in counts.collect()}
+    assert got_counts[("a b c", 3)] == 2
+    assert got_counts[("a b", 2)] == 3
+    assert got_counts[("a", 1)] == 3
+
+    score_df = spark.createDataFrame(
+        [(10, "a b c"), (11, "b d"), (12, "zzz"), (13, "")],
+        "doc_id long, text string")
+    got = {r["id"]: (r["sb_ppl"], r["n_tokens"]) for r in
+           stupid_backoff_score(score_df, "text", "doc_id",
+                                counts).collect()}
+    n_total = 9  # 3 docs x 3 unigram tokens
+    lam = 0.4
+    # doc 10: pos1 'a' unigram-only path wins at longest available
+    # context: no w1 -> unigram c(a)/N... but Stupid Backoff with null
+    # context skips straight to the unigram case = lam^2 * c/N only when
+    # backing off FROM a seen context; with no context at all the chain's
+    # unigram branch applies (lam^2 factor, by construction of the
+    # coalesce chain)
+    s1 = lam * lam * 3 / n_total          # 'a', no context
+    s2 = lam * 3 / 3                      # 'b' after 'a': c(a b)/c(a)... bigram path has lam
+    s3 = 2 / 3                            # 'c' after 'a b': trigram 2 / bigram 3
+    exp_10 = math.exp(-(math.log(s1) + math.log(s2) + math.log(s3)) / 3)
+    assert abs(got[10][0] - round(exp_10, 10)) < 1e-5
+    # doc 12: single OOV token -> floor lam^2 * 0.5 / N
+    exp_12 = math.exp(-math.log(lam * lam * 0.5 / n_total))
+    assert abs(got[12][0] - exp_12) < 1e-5
+    # empty doc: NULL score, 0 tokens
+    assert got[13] == (None, 0)
+    # in-domain text scores better (lower ppl) than OOV salad
+    assert got[10][0] < got[12][0]
+
+
+def test_ngram_lm_model_roundtrips_as_parquet(spark, tmp_path):
+    """The model IS a DataFrame: persist to parquet, reload, identical
+    scores — the KenLM-artifact seam with zero special formats."""
+    from discoverx_spark.functions.ngram_lm import (stupid_backoff_score,
+                                                    word_ngram_counts)
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ran")],
+        "doc_id long, text string")
+    counts = word_ngram_counts(train, "text", order=3)
+    path = str(tmp_path / "lm_counts.parquet")
+    counts.write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    a = sorted(map(tuple, stupid_backoff_score(
+        train, "text", "doc_id", counts).collect()))
+    b = sorted(map(tuple, stupid_backoff_score(
+        train, "text", "doc_id", reloaded).collect()))
+    assert a == b
