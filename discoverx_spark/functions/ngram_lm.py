@@ -41,13 +41,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .text import tokens_sql_expr as _tokens
+
 SB_LAMBDA = 0.4
 SB_OOV_NUMERATOR = 0.5
-
-
-def _tokens(col) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(F.lower(c), F.lit(r"(\S+)"), 1)
 
 
 def word_ngram_counts(df: DataFrame, text_col: str, order: int = 3,
@@ -116,7 +113,7 @@ def stupid_backoff_score(df: DataFrame, text_col: str, id_col: str,
         F.slice(padded, 1, F.greatest(n, F.lit(1))).alias("w2"),
         F.slice(padded, 2, F.greatest(n, F.lit(1))).alias("w1"),
         F.slice(padded, 3, F.greatest(n, F.lit(1))).alias("w"))
-    rows = (df.select(F.col(id_col).alias("id"), n.alias("_n"),
+    rows = (df.select(F.col(id_col).alias("id"),
                       F.posexplode(F.when(n >= 1, zipped)
                                    .otherwise(F.slice(zipped, 1, 0)))
                       .alias("pos", "s")))

@@ -40,21 +40,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.text import tokens_sql_expr
+from .sampling import _bucket_expr
+
 DSIR_BUCKETS = 8192
 DSIR_ALPHA = 0.5
-
-
-def _c(col) -> Column:
-    return F.col(col) if isinstance(col, str) else col
-
-
-def _bucket(col: Column, buckets: int, hash_mode: str) -> Column:
-    if hash_mode == "xxhash64":
-        return F.pmod(F.xxhash64(col), F.lit(buckets))
-    if hash_mode == "md5":
-        h = F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
-        return F.pmod(h, F.lit(buckets))
-    raise ValueError(f"unknown hash_mode {hash_mode!r}")
 
 
 def ngram_bucket_features_expr(col, buckets: int = DSIR_BUCKETS,
@@ -63,14 +53,15 @@ def ngram_bucket_features_expr(col, buckets: int = DSIR_BUCKETS,
     projection, zero shuffle.  ``md5`` mode is the cross-engine-oracle
     family; ``xxhash64`` the production one (same dual-family policy as
     MinHash)."""
-    toks = F.regexp_extract_all(F.lower(_c(col)), F.lit(r"(\S+)"), 1)
+    toks = tokens_sql_expr(col)
     n = F.size(toks)
     joined = F.zip_with(toks, F.slice(toks, 2, F.greatest(n, F.lit(1))),
                         lambda a, b: F.concat(a, F.lit(" "), b))
     bigrams = F.when(n >= 2, F.slice(joined, 1, n - 1)) \
         .otherwise(F.slice(toks, 1, 0))
     grams = F.concat(toks, bigrams)
-    return F.transform(grams, lambda g: _bucket(g, buckets, hash_mode))
+    return F.transform(grams,
+                       lambda g: _bucket_expr(g, hash_mode, buckets))
 
 
 def bucket_histogram(df: DataFrame, text_col: str,
@@ -100,7 +91,10 @@ def dsir_log_weights(raw_df: DataFrame, target_df: DataFrame,
         .withColumnRenamed("cnt", "_ct")
     hist_r = bucket_histogram(raw_df, text_col, buckets, hash_mode) \
         .withColumnRenamed("cnt", "_cr")
-    tot_t = hist_t.agg(F.sum("_ct").alias("_tt"))
+    # coalesce: an empty target corpus must yield the same finite
+    # smoothed-multinomial weights the SQL oracle computes, not NULL-
+    # poisoned ratios that silently zero every weight
+    tot_t = hist_t.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_tt"))
     tot_r = hist_r.agg(F.sum("_cr").alias("_tr"))
     ab = float(alpha) * buckets
     ratio = (hist_r.join(hist_t, "bucket", "left")

@@ -26,17 +26,19 @@ from pyspark.sql import functions as F
 BUCKETS = 1 << 20
 
 
-def _bucket_expr(key, hash_mode: str = "xxhash64") -> Column:
-    """Uniform bucket in [0, BUCKETS) from the row key (key is cast to
+def _bucket_expr(key, hash_mode: str = "xxhash64",
+                 buckets: int = BUCKETS) -> Column:
+    """Uniform bucket in [0, buckets) from the row key (key is cast to
     string first so both hash families and the SQL oracle agree on the
-    hashed bytes)."""
+    hashed bytes).  The canonical dual-family bucket hash — dsir reuses
+    it with its own bucket count."""
     c = key if isinstance(key, Column) else F.col(key)
     s = c.cast("string")
     if hash_mode == "xxhash64":
-        return F.pmod(F.xxhash64(s), F.lit(BUCKETS))
+        return F.pmod(F.xxhash64(s), F.lit(buckets))
     if hash_mode == "md5":
         h = F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
-        return F.pmod(h, F.lit(BUCKETS))
+        return F.pmod(h, F.lit(buckets))
     raise ValueError(f"unknown hash_mode {hash_mode!r}")
 
 

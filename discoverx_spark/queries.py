@@ -1304,7 +1304,7 @@ def q_stupid_backoff_documents(spark, sf_dir):
 
 
 def _sql_stupid_backoff() -> str:
-    lam, lam2 = 0.4, 0.16
+    lam, lam2 = 0.4, 0.4 * 0.4
     return rf"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '(\S+)', 1) AS t
@@ -1323,10 +1323,10 @@ scored AS (
   SELECT pos.doc_id, pos.i,
          ln(CASE
               WHEN c3.cnt IS NOT NULL THEN c3.cnt / c2ctx.cnt
-              WHEN c2.cnt IS NOT NULL THEN {lam} * c2.cnt / c1ctx.cnt
+              WHEN c2.cnt IS NOT NULL THEN {lam!r} * c2.cnt / c1ctx.cnt
               WHEN c1.cnt IS NOT NULL
-                THEN {lam2} * c1.cnt / total.n_total
-              ELSE {lam2} * 0.5 / total.n_total
+                THEN {lam2!r} * c1.cnt / total.n_total
+              ELSE {lam2 * 0.5!r} / total.n_total
             END) AS ls
   FROM pos
   LEFT JOIN c3 ON pos.w2 IS NOT NULL

@@ -546,3 +546,20 @@ def test_dsir_empty_and_short_docs(spark):
     assert set(w) == {1, 2, 3, 4}
     assert w[1] == 0.0 and w[2] == 0.0
     assert w[4] > w[3]
+
+
+def test_dsir_empty_target_gives_finite_weights(spark):
+    """An empty target corpus yields the uniform smoothed-multinomial
+    weights (finite, non-null) — not NULL-poisoned zeros."""
+    from discoverx_spark.operators.dsir import dsir_log_weights
+
+    raw = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string")
+    target = raw.filter("doc_id < 0")  # empty
+    w = {r["id"]: r["log_weight"] for r in
+         dsir_log_weights(raw, target, "text", "doc_id",
+                          buckets=64).collect()}
+    assert set(w) == {1, 2}
+    for v in w.values():
+        assert v is not None and v == v  # finite, not NaN
+        assert v != 0.0  # genuinely computed, not the empty-doc fallback
