@@ -1244,6 +1244,110 @@ WHERE rank <= {_BM25_K}
 """
 
 
+# Distributed BPE tokenizer training (operators/bpe.py)
+_BPE_MERGES = 16
+
+
+def q_bpe_pair_counts_documents(spark, sf_dir):
+    """The BPE statistics pass: frequency-weighted adjacent symbol pairs
+    over the word-frequency table (chars + </w> markers) — the
+    vocabulary-shaped aggregation every merge iteration repeats."""
+    from .operators.bpe import (_pair_counts, _symbols_expr,
+                                word_frequencies)
+    docs = _t(spark, sf_dir, "documents")
+    words = word_frequencies(docs, "text").select(
+        _symbols_expr("word").alias("symbols"), "freq")
+    pc = _pair_counts(words)
+    return pc.select(
+        F.split_part("pair", F.lit("\x1f"), F.lit(1)).alias("left"),
+        F.split_part("pair", F.lit("\x1f"), F.lit(2)).alias("right"),
+        "cnt")
+
+
+def _sql_bpe_pair_counts() -> str:
+    return r"""
+WITH words AS (
+  SELECT word, count(*) AS freq FROM
+    (SELECT unnest(regexp_extract_all(lower(text), '(\S+)', 1)) AS word
+     FROM documents)
+  GROUP BY word),
+syms AS (
+  SELECT list_concat(string_split(word, ''), ['</w>']) AS s, freq
+  FROM words),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(s)),
+                               i -> s[i] || chr(31) || s[i+1])) AS pair,
+         freq
+  FROM syms)
+SELECT string_split(pair, chr(31))[1] AS left,
+       string_split(pair, chr(31))[2] AS right,
+       sum(freq) AS cnt
+FROM pairs GROUP BY pair
+"""
+
+
+def _py_bpe_reference(text: str, num_merges: int):
+    """Independent driver-side BPE (the reference algorithm from the
+    paper, zero code shared with operators/bpe.py) — the expected-output
+    oracle for `bpe_train_merges` (the xxh.py precedent: iterative
+    algorithms get a VALUES oracle from an independent implementation
+    over a deterministic embedded input)."""
+    from collections import Counter
+
+    words = Counter(text.lower().split())
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in words.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(),
+                   key=lambda kv: (-kv[1], "\x1f".join(kv[0])))[0]
+
+        def apply(syms):
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == best[0]
+                        and syms[i + 1] == best[1]):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return tuple(out)
+
+        vocab = {apply(s): c for s, c in vocab.items()}
+        merges.append(best)
+    return merges
+
+
+def q_bpe_train_merges(spark, sf_dir):
+    """Full iterative BPE training on the deterministic embedded corpus
+    (sf-independent, like the compression-ratio query): the distributed
+    merge loop must reproduce the reference algorithm's ranked merge
+    list exactly — argmax tie-breaks, greedy-overlap rewrites and all."""
+    from .functions.perplexity import _TRAIN
+    from .operators.bpe import bpe_train
+    corpus = spark.createDataFrame([(_TRAIN,)], "text string")
+    merges = bpe_train(corpus, "text", num_merges=_BPE_MERGES)
+    rows = [(i + 1, l, r) for i, (l, r) in enumerate(merges)]
+    return spark.createDataFrame(rows, "rank int, left string, right string")
+
+
+def _sql_bpe_train_merges() -> str:
+    from .functions.perplexity import _TRAIN
+    merges = _py_bpe_reference(_TRAIN, _BPE_MERGES)
+    values = ", ".join(
+        "({}, '{}', '{}')".format(i + 1, l.replace("'", "''"),
+                                  r.replace("'", "''"))
+        for i, (l, r) in enumerate(merges))
+    return (f'SELECT CAST(rank AS INTEGER) AS rank, "left", "right" '
+            f'FROM (VALUES {values}) AS t(rank, "left", "right")')
+
+
 # Stupid Backoff word n-gram LM (functions/ngram_lm.py): trained on the
 # corpus itself, scored join-based with the model as a DataFrame
 _SB_MIN_COUNT = 2
@@ -3208,6 +3312,9 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "bm25_topk_documents": (q_bm25_topk_documents, _sql_bm25_topk()),
     "bm25_topk_batch_documents": (q_bm25_topk_batch_documents,
                                   _sql_bm25_topk_batch()),
+    "bpe_pair_counts_documents": (q_bpe_pair_counts_documents,
+                                  _sql_bpe_pair_counts()),
+    "bpe_train_merges": (q_bpe_train_merges, _sql_bpe_train_merges()),
     "ngram_lm_counts_documents": (q_ngram_lm_counts_documents,
                                   _sql_ngram_lm_counts()),
     "stupid_backoff_documents": (q_stupid_backoff_documents,
@@ -3306,6 +3413,8 @@ _NEVER_CERTIFIED = [
     "incremental_lsh_pairs",
     "bm25_topk_documents",
     "bm25_topk_batch_documents",
+    "bpe_pair_counts_documents",
+    "bpe_train_merges",
     "ngram_lm_counts_documents",
     "stupid_backoff_documents",
     "dsir_weights_documents",

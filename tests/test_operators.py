@@ -563,3 +563,47 @@ def test_dsir_empty_target_gives_finite_weights(spark):
     for v in w.values():
         assert v is not None and v == v  # finite, not NaN
         assert v != 0.0  # genuinely computed, not the empty-doc fallback
+
+
+def test_bpe_train_and_segment_roundtrip(spark):
+    """Distributed BPE learns the obvious merges on a skewed corpus, the
+    greedy rewrite handles overlaps left-to-right, and segmenting with
+    the learned merges reconstructs every word exactly."""
+    from discoverx_spark.operators.bpe import (bpe_segment_expr, bpe_train,
+                                               END_OF_WORD)
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(1, "low low low low lower lower newest newest newest widest")],
+        "doc_id long, text string")
+    merges = bpe_train(corpus, "text", num_merges=6)
+    assert len(merges) == 6
+    # 'lo'+'w' dominates: 6 occurrences of l,o adjacency
+    assert merges[0] == ("l", "o")
+
+    seg = corpus.select(
+        bpe_segment_expr("text", merges).alias("pieces")).first()["pieces"]
+    # segmentation is lossless: joining pieces reproduces the corpus
+    joined = "".join(seg).replace(END_OF_WORD, " ").strip()
+    assert joined == "low low low low lower lower newest newest newest widest"
+
+    # greedy overlap semantics: 'aaa' with merge (a,a) -> ['aa','a</w>'-ish]
+    aaa = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    m2 = bpe_train(aaa, "text", num_merges=1)
+    assert m2 == [("a", "a")]
+    pieces = aaa.select(
+        bpe_segment_expr("text", m2).alias("p")).first()["p"]
+    assert pieces == ["aa", "a", END_OF_WORD]
+
+
+def test_bpe_matches_reference_implementation(spark):
+    """The distributed merge loop reproduces the paper's reference
+    algorithm (independent Python implementation) rank-for-rank."""
+    from discoverx_spark.operators.bpe import bpe_train
+    from discoverx_spark.queries import _py_bpe_reference
+
+    text = ("the quick brown fox jumps over the lazy dog the dog barks "
+            "the fox runs quick quick")
+    corpus = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    assert bpe_train(corpus, "text", num_merges=10) == \
+        _py_bpe_reference(text, 10)
