@@ -40,14 +40,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_sql_expr
+from .packing import token_counts
 
 END_OF_WORD = "</w>"
 
 
 def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
-    """(word, freq) — the one corpus-sized pass."""
-    return (df.select(F.explode(tokens_sql_expr(text_col)).alias("word"))
-            .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    """(word, freq) — the one corpus-sized pass (packing.token_counts
+    under vocabulary-table column names)."""
+    return (token_counts(df, text_col)
+            .withColumnRenamed("token", "word")
+            .withColumnRenamed("count", "freq"))
 
 
 def _symbols_expr(word) -> Column:
@@ -56,17 +59,19 @@ def _symbols_expr(word) -> Column:
 
 
 def _pair_counts(words: DataFrame) -> DataFrame:
-    """(pair, cnt): adjacent symbol pairs weighted by word frequency.
-    Pairs are joined with a unit separator (\\x1f) so multi-char symbols
-    produced by earlier merges cannot collide (('ab','c') vs ('a','bc')
-    would both render 'ab c' under a space separator once symbols may
-    contain anything)."""
+    """(pair struct<l,r>, cnt): adjacent symbol pairs weighted by word
+    frequency.  The pair is a STRUCT, not a joined string — symbols may
+    contain ANY character after a few merges (including any separator a
+    string encoding would pick: real web corpora do contain C0 control
+    chars, which \\S+ keeps inside tokens), and struct equality/ordering
+    gives collision-free grouping plus tuple-order tie-breaks for
+    free."""
     syms = F.col("symbols")
     n = F.size(syms)
-    pairs = F.when(n >= 2, F.slice(
-        F.zip_with(syms, F.slice(syms, 2, F.greatest(n, F.lit(1))),
-                   lambda a, b: F.concat(a, F.lit("\x1f"), b)),
-        1, n - 1)).otherwise(F.slice(syms, 1, 0))
+    zipped = F.zip_with(syms, F.slice(syms, 2, F.greatest(n, F.lit(1))),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")))
+    pairs = F.when(n >= 2, F.slice(zipped, 1, n - 1)) \
+        .otherwise(F.slice(zipped, 1, 0))
     return (words.select(F.explode(pairs).alias("pair"), "freq")
             .groupBy("pair").agg(F.sum("freq").alias("cnt")))
 
@@ -110,18 +115,22 @@ def bpe_train(df: DataFrame, text_col: str, num_merges: int,
              .localCheckpoint(eager=True))
     merges: List[Tuple[str, str]] = []
     for i in range(num_merges):
+        # struct asc ordering = (l, r) tuple order — the deterministic
+        # tie-break the reference implementation mirrors
         top = (_pair_counts(words)
                .orderBy(F.desc("cnt"), F.asc("pair")).limit(1).collect())
         if not top:
             break
-        left, right = top[0]["pair"].split("\x1f", 1)
+        left, right = top[0]["pair"]["l"], top[0]["pair"]["r"]
         merges.append((left, right))
+        if i == num_merges - 1:
+            break  # the rewritten table would never be read
         words = words.select(
             _merge_pair_expr(F.col("symbols"), left, right).alias("symbols"),
             "freq")
         # truncate the per-iteration fold lineage (CC discipline): the
         # plan otherwise nests num_merges aggregate folds
-        if (i + 1) % checkpoint_every == 0 or i == num_merges - 1:
+        if (i + 1) % checkpoint_every == 0:
             words = words.localCheckpoint(eager=True)
     return merges
 

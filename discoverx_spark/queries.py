@@ -1258,10 +1258,8 @@ def q_bpe_pair_counts_documents(spark, sf_dir):
     words = word_frequencies(docs, "text").select(
         _symbols_expr("word").alias("symbols"), "freq")
     pc = _pair_counts(words)
-    return pc.select(
-        F.split_part("pair", F.lit("\x1f"), F.lit(1)).alias("left"),
-        F.split_part("pair", F.lit("\x1f"), F.lit(2)).alias("right"),
-        "cnt")
+    return pc.select(F.col("pair.l").alias("left"),
+                     F.col("pair.r").alias("right"), "cnt")
 
 
 def _sql_bpe_pair_counts() -> str:
@@ -1275,14 +1273,10 @@ syms AS (
   SELECT list_concat(string_split(word, ''), ['</w>']) AS s, freq
   FROM words),
 pairs AS (
-  SELECT unnest(list_transform(range(1, len(s)),
-                               i -> s[i] || chr(31) || s[i+1])) AS pair,
-         freq
-  FROM syms)
-SELECT string_split(pair, chr(31))[1] AS left,
-       string_split(pair, chr(31))[2] AS right,
-       sum(freq) AS cnt
-FROM pairs GROUP BY pair
+  SELECT s[i] AS l, s[i+1] AS r, freq
+  FROM (SELECT s, freq, unnest(range(1, len(s))) AS i FROM syms))
+SELECT l AS "left", r AS "right", sum(freq) AS cnt
+FROM pairs GROUP BY l, r
 """
 
 
@@ -1292,9 +1286,14 @@ def _py_bpe_reference(text: str, num_merges: int):
     oracle for `bpe_train_merges` (the xxh.py precedent: iterative
     algorithms get a VALUES oracle from an independent implementation
     over a deterministic embedded input)."""
+    import re
     from collections import Counter
 
-    words = Counter(text.lower().split())
+    # the SAME tokenizer as the engine: Java's \s is [ \t\n\x0B\f\r],
+    # while PYTHON's \s (and str.split) additionally treats \x1c-\x1f
+    # as whitespace — spelling out the Java class keeps the reference
+    # pinned to what regexp_extract_all(lower(text), '(\S+)') tokenizes
+    words = Counter(re.findall(r"[^ \t\n\x0b\f\r]+", text.lower()))
     vocab = {tuple(list(w) + ["</w>"]): c for w, c in words.items()}
     merges = []
     for _ in range(num_merges):
@@ -1304,8 +1303,7 @@ def _py_bpe_reference(text: str, num_merges: int):
                 pairs[(syms[i], syms[i + 1])] += c
         if not pairs:
             break
-        best = min(pairs.items(),
-                   key=lambda kv: (-kv[1], "\x1f".join(kv[0])))[0]
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
 
         def apply(syms):
             out, i = [], 0

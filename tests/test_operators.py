@@ -607,3 +607,18 @@ def test_bpe_matches_reference_implementation(spark):
     corpus = spark.createDataFrame([(1, text)], "doc_id long, text string")
     assert bpe_train(corpus, "text", num_merges=10) == \
         _py_bpe_reference(text, 10)
+
+
+def test_bpe_control_char_symbols_no_collision(spark):
+    """Symbols containing C0 control characters (kept inside tokens by
+    \\S+) must not corrupt pair grouping or merge parsing — the pair key
+    is a struct, not a separator-joined string."""
+    from discoverx_spark.operators.bpe import bpe_train
+    from discoverx_spark.queries import _py_bpe_reference
+
+    text = "a\x1fb a\x1fb a\x1fb cd cd"
+    corpus = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = bpe_train(corpus, "text", num_merges=4)
+    assert got == _py_bpe_reference(text, 4)
+    # the control char participates in real merges, no bogus duplicates
+    assert len(set(got)) == len(got)
