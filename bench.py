@@ -56,9 +56,12 @@ HEADLINE = [
     # the batched numpy-matmul production path, "_sql" the pure-JVM twin
     "line_dedup_documents", "semantic_dedup_sf", "semantic_dedup_sql_sf",
     # round-4: batched BM25 (one job for a whole query suite), DSIR
-    # importance resampling, and join-based Stupid Backoff LM scoring
+    # importance resampling, join-based Stupid Backoff LM scoring, and
+    # the BPE pair-statistics pass (bpe_train itself is NOT a headline:
+    # like dedup_clusters its cost is iteration-count x driver round
+    # trips, which would measure the loop, not the operators)
     "bm25_topk_batch_documents", "dsir_resample_documents",
-    "stupid_backoff_documents",
+    "stupid_backoff_documents", "bpe_pair_counts_documents",
 ]
 
 
