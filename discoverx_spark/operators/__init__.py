@@ -16,7 +16,8 @@ from .retrieval import (bm25_topk, bm25_topk_batch, doc_lengths,
                         tfidf_weights)
 from .dsir import (ngram_bucket_features_expr, bucket_histogram,
                    dsir_log_weights, dsir_resample)
-from .bpe import (word_frequencies, bpe_train, bpe_segment_expr)
+from .bpe import (word_frequencies, bpe_train, bpe_segment_expr,
+                  make_bpe_segment_udf)
 from .sampling import (cap_per_group, domain_blocklist_filter, hash_sample,
                        mixing_rates, split_train_holdout,
                        stratified_hash_sample)
@@ -50,4 +51,5 @@ __all__ = [
     "ngram_bucket_features_expr", "bucket_histogram",
     "dsir_log_weights", "dsir_resample",
     "word_frequencies", "bpe_train", "bpe_segment_expr",
+    "make_bpe_segment_udf",
 ]

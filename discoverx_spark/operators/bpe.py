@@ -27,15 +27,16 @@ stays (left-to-right, no re-scan within the same merge step).
 ``learned merges`` come back as a small driver-side list (rank order);
 ``bpe_segment_expr`` applies them in rank order to tokenize new text —
 num_merges chained folds, fine for the few-hundred-merge vocabularies
-the tests use; a production tokenizer with 30k+ merges would compile
-the merge table into a linear-time Arrow UDF instead (the documented
-UDF escape hatch, pipeline.py pattern).
+the tests use — and ``make_bpe_segment_udf`` is the rank-priority
+Arrow kernel for 30k+-merge production tables (equality-tested against
+the expression form; merge table broadcast per session).
 """
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Iterator, List, Tuple
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -139,7 +140,9 @@ def bpe_segment_expr(col, merges: List[Tuple[str, str]]) -> Column:
     """Tokenize text with learned merges: per word, apply every merge in
     rank order (the reference algorithm), then emit the flattened symbol
     sequence.  Plan size grows linearly with len(merges) — fine for the
-    few-hundred-merge range; compile to an Arrow UDF beyond that."""
+    few-hundred-merge range; :func:`make_bpe_segment_udf` is the
+    rank-priority Arrow kernel for 30k+-merge production vocabularies
+    (equality-tested against this expression)."""
     toks = tokens_sql_expr(col)
 
     def segment_word(w):
@@ -149,3 +152,77 @@ def bpe_segment_expr(col, merges: List[Tuple[str, str]]) -> Column:
         return syms
 
     return F.flatten(F.transform(toks, segment_word))
+
+
+def make_bpe_segment_udf(merges: List[Tuple[str, str]], spark=None):
+    """Arrow-batched BPE segmenter: ``text -> array<string>`` — the
+    production path for real merge tables, where the expression form's
+    plan would chain tens of thousands of folds.
+
+    Semantics are IDENTICAL to :func:`bpe_segment_expr` (equality-tested):
+    merges apply in rank order, greedy left-to-right within each rank.
+    The standard tokenizer trick — repeatedly merging the present pair
+    with the lowest rank — gives the same result as one pass per rank
+    because later-rank merges can only create pairs that earlier ranks
+    already had their chance at; the rank-priority loop just skips the
+    ranks that match nothing, turning O(|merges|) passes into
+    O(word_len) merge steps per word.  Per-task state is the rank dict
+    (built once per worker); pass ``spark`` to ship large merge tables
+    as a session broadcast instead of a task-closure copy
+    (functions/models.py pattern)."""
+    # one payload holding both lookup directions; when broadcasting, the
+    # closure must hold NO direct reference to it (a captured free
+    # variable is pickled into every task regardless, defeating the
+    # broadcast — the make_perplexity_udf lesson)
+    payload = ({pair: i for i, pair in enumerate(merges)}, list(merges))
+    bcast = None
+    if spark is not None:
+        from ..functions.models import broadcast_model
+
+        key = f"bpe_merges_{hash(tuple(merges))}"
+        bcast = broadcast_model(spark, key, lambda p=payload: p)
+        payload = None
+
+    import re as _re
+
+    # Java's whitespace class, NOT Python's .split() (Python \s treats
+    # \x1c-\x1f as whitespace; Java/regexp_extract_all does not)
+    _word = _re.compile(r"[^ \t\n\x0b\f\r]+")
+
+    def segment(text, r, mlist):
+        out = []
+        for w in _word.findall(text):
+            syms = list(w) + [END_OF_WORD]
+            while len(syms) >= 2:
+                best = None
+                for i in range(len(syms) - 1):
+                    rk = r.get((syms[i], syms[i + 1]))
+                    if rk is not None and (best is None or rk < best[0]):
+                        best = (rk, i)
+                if best is None:
+                    break
+                left, right = mlist[best[0]]
+                merged, i, nxt = [], 0, len(syms)
+                while i < nxt:
+                    if (i + 1 < nxt and syms[i] == left
+                            and syms[i + 1] == right):
+                        merged.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                syms = merged
+            out.extend(syms)
+        return out
+
+    def batches(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        r, mlist = bcast.value if bcast is not None else payload
+        for s in it:
+            yield pd.Series([
+                None if t is None else segment(t.lower(), r, mlist)
+                for t in s])
+
+    from pyspark.sql import types as T
+
+    return F.pandas_udf(batches,
+                        returnType=T.ArrayType(T.StringType()))

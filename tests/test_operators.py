@@ -622,3 +622,31 @@ def test_bpe_control_char_symbols_no_collision(spark):
     assert got == _py_bpe_reference(text, 4)
     # the control char participates in real merges, no bogus duplicates
     assert len(set(got)) == len(got)
+
+
+def test_bpe_udf_matches_expr(spark):
+    """The rank-priority Arrow segmenter (production path for 30k+-merge
+    tables) produces exactly the expression form's output — including
+    multi-char merge chains, OOV words, and broadcast shipping."""
+    from discoverx_spark.operators.bpe import (bpe_segment_expr, bpe_train,
+                                               make_bpe_segment_udf)
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(1, "low low low low lower lower newest newest newest widest "
+             "the the the them theme")],
+        "doc_id long, text string")
+    merges = bpe_train(corpus, "text", num_merges=12)
+
+    test = spark.createDataFrame(
+        [(1, "low lower lowest newest news the theme unknown zzz"),
+         (2, ""), (3, None), (4, "aaa the them")],
+        "doc_id long, text string")
+    via_expr = {r["doc_id"]: r["p"] for r in test.select(
+        "doc_id", bpe_segment_expr("text", merges).alias("p")).collect()}
+    via_udf = {r["doc_id"]: r["p"] for r in test.select(
+        "doc_id",
+        make_bpe_segment_udf(merges, spark=spark)("text").alias("p"),
+    ).collect()}
+    for k in via_expr:
+        assert via_expr[k] == via_udf[k], (k, via_expr[k], via_udf[k])
