@@ -62,6 +62,9 @@ HEADLINE = [
     # trips, which would measure the loop, not the operators)
     "bm25_topk_batch_documents", "dsir_resample_documents",
     "stupid_backoff_documents", "bpe_pair_counts_documents",
+    # duplicate-span dedup, production xxhash64 keys (bench-only twin;
+    # the gram-string family above it is the oracle-checked version)
+    "span_dedup_xxhash_sf",
 ]
 
 

@@ -3,6 +3,7 @@ from .convagg import (conversation_stats, conversation_fingerprints,
                       dedup_conversations, conversation_minhash_signatures,
                       conversation_near_duplicates, conversation_gates)
 from .dedup import (tokens_expr, shingles_expr, exact_duplicates, dedup_exact,
+                    span_dedup,
                     minhash_signatures, minhash_signature_exprs,
                     minhash_struct_expr,
                     lsh_candidate_pairs, minhash_near_duplicates,
@@ -44,7 +45,7 @@ __all__ = [
     "hash_sample", "stratified_hash_sample", "split_train_holdout",
     "cap_per_group", "incremental_lsh_pairs", "contamination_check",
     "line_dedup", "semantic_dedup", "domain_blocklist_filter",
-    "incremental_exact_dedup", "line_dedup_within",
+    "incremental_exact_dedup", "line_dedup_within", "span_dedup",
     "mixing_rates", "ivf_assign_batched",
     "bm25_topk", "bm25_topk_batch", "term_frequencies", "doc_lengths",
     "tfidf_weights", "sparse_near_duplicates",

@@ -830,3 +830,88 @@ def line_dedup_within(df: DataFrame, text_col: str,
         F.array_join(kept, "\n").alias("clean_text"),
         F.size("_ldw_parts").alias("n_lines"),
         (F.size("_ldw_parts") - F.size(kept)).alias("n_removed"))
+
+
+# --------------------------------------------------------------------------
+# Corpus-wide duplicate-SPAN dedup (exact-substring family, token windows)
+# --------------------------------------------------------------------------
+
+def span_dedup(df: DataFrame, text_col: str, id_col: str,
+               window: int = 8, hash_mode: str = "xxhash64") -> DataFrame:
+    """Remove token spans duplicated ACROSS the corpus — the
+    exact-substring dedup role (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"), realised as fixed-width token
+    windows instead of suffix arrays: every ``window``-gram that appears
+    more than once corpus-wide keeps only its globally-first occurrence
+    (min (doc_id, position)); every other occurrence's token span is
+    removed, overlapping removals unioned per document.
+
+    Single-pass semantics (like the paper): spans are judged against the
+    ORIGINAL text — removals do not cascade into new adjacencies.
+    Output text is token-canonical (surviving tokens joined by single
+    spaces); documents shorter than ``window`` tokens pass through
+    unchanged.
+
+    Spark shape (the line_dedup discipline at token granularity):
+
+    * grams are hashed BEFORE the shuffle — only (key, doc_id, pos)
+      short rows move, never text.  ``xxhash64`` keys in production;
+      ``hash_mode="gram"`` shuffles the gram string itself, which the
+      ANSI-SQL oracle replays exactly (md5-family tradeoff as ever).
+    * first-occurrence election is one ``groupBy(key)`` with a
+      ``min(struct(doc_id, pos))`` — map-side combined, no window
+      function over the corpus.
+    * duplicate positions come back to their documents as ONE
+      position-list join (ints, not text), and the span union + rebuild
+      is a zero-shuffle projection (filter over the token index array).
+
+    Returns ``(id, clean_text, n_tokens, n_removed)``.
+    """
+    from ..functions.text import tokens_sql_expr
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    toks = tokens_sql_expr(text_col)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+
+    grams = shingles_expr(F.col(text_col), n=window)
+    if hash_mode == "gram":
+        key = lambda g: g  # noqa: E731 - oracle-replayable identity key
+    else:
+        key = _hash_fn(hash_mode, 0)
+    occs = (df.select(F.col(id_col).alias("id"),
+                      F.posexplode(F.when(F.size(toks) >= window, grams)
+                                   .otherwise(F.slice(grams, 1, 0)))
+                      .alias("pos", "gram"))
+            .select("id", "pos", key(F.col("gram")).alias("_k")))
+    first = occs.groupBy("_k").agg(
+        F.min(F.struct("id", "pos")).alias("_first"),
+        F.count(F.lit(1)).alias("_n"))
+    dups = (occs.join(first.filter(F.col("_n") > 1), "_k")
+            .filter((F.col("id") != F.col("_first.id"))
+                    | (F.col("pos") != F.col("_first.pos")))
+            .groupBy("id")
+            .agg(F.sort_array(F.collect_list("pos")).alias("_dup_pos")))
+
+    out = base.join(dups, "id", "left")
+    n = F.size("_toks")
+    empty_ints = F.slice(F.sequence(F.lit(0), F.lit(0)), 1, 0)
+    # sequence(0, n-1) at n=0 would yield [0, -1] (Spark picks step -1
+    # when stop < start) — guard the empty-document case explicitly
+    idx = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(empty_ints)
+    dup_pos = F.coalesce(F.col("_dup_pos"), empty_ints)
+    w = F.lit(window)
+    kept = F.filter(
+        F.zip_with(idx, F.col("_toks"),
+                   lambda i, t: F.struct(i.alias("i"), t.alias("t"))),
+        lambda s: ~F.exists(dup_pos,
+                            lambda p: (p <= s["i"]) & (s["i"] < p + w)))
+    return (out.select(
+        "id",
+        F.when(F.col("_toks").isNull(), F.lit(None).cast("string"))
+        .when(n >= 1,
+              F.array_join(F.transform(kept, lambda s: s["t"]), " "))
+        .otherwise(F.lit("")).alias("clean_text"),
+        F.coalesce(n, F.lit(0)).alias("n_tokens"),
+        (F.coalesce(n, F.lit(0)) - F.coalesce(F.size(kept), F.lit(0)))
+        .alias("n_removed")))

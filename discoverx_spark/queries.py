@@ -1244,6 +1244,71 @@ WHERE rank <= {_BM25_K}
 """
 
 
+# Corpus-wide duplicate-span dedup (operators/dedup.py:span_dedup)
+_SPAN_W = 8
+
+
+def q_span_dedup_documents(spark, sf_dir):
+    """Exact-substring dedup at token-window granularity (Lee et al.
+    2021 role): every 8-gram duplicated corpus-wide keeps only its
+    globally-first occurrence; other occurrences' spans are removed with
+    per-document overlap union.  Oracle family keys on the gram string
+    itself (production twin: xxhash64)."""
+    from .operators.dedup import span_dedup
+    docs = _t(spark, sf_dir, "documents")
+    out = span_dedup(docs, "text", "doc_id", window=_SPAN_W,
+                     hash_mode="gram")
+    return out.select(F.col("id").alias("doc_id"), "clean_text",
+                      F.col("n_tokens").cast("int").alias("n_tokens"),
+                      F.col("n_removed").cast("int").alias("n_removed"))
+
+
+def q_span_dedup_xxhash_sf(spark, sf_dir):
+    """Bench-only production twin of `span_dedup_documents`: xxhash64
+    gram keys, so the first-occurrence shuffle carries longs instead of
+    ~60-char gram strings (the md5/xxhash dual-family policy)."""
+    from .operators.dedup import span_dedup
+    docs = _t(spark, sf_dir, "documents")
+    return span_dedup(docs, "text", "doc_id", window=_SPAN_W)
+
+
+def _sql_span_dedup() -> str:
+    w = _SPAN_W
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '(\S+)', 1) AS t
+  FROM documents),
+occs AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(t, i, i + {w - 1}), ' ') AS k
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {w} + 2)) AS i
+        FROM toks)),
+ranked AS (
+  SELECT doc_id, pos, k,
+         row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY k) AS cnt
+  FROM occs),
+dups AS (
+  SELECT doc_id, list(pos ORDER BY pos) AS dup_pos
+  FROM ranked WHERE cnt > 1 AND rn > 1 GROUP BY doc_id),
+rebuilt AS (
+  SELECT toks.doc_id, toks.t,
+         list_filter(range(0, len(toks.t)),
+                     j -> len(list_filter(
+                            coalesce(dups.dup_pos, CAST([] AS BIGINT[])),
+                            p -> p <= j AND j < p + {w})) = 0) AS kept
+  FROM toks LEFT JOIN dups USING (doc_id))
+SELECT doc_id,
+       CASE WHEN len(t) >= 1
+            THEN coalesce(array_to_string(
+                   list_transform(kept, j -> t[j + 1]), ' '), '')
+            ELSE '' END AS clean_text,
+       CAST(len(t) AS INTEGER) AS n_tokens,
+       CAST(len(t) - len(kept) AS INTEGER) AS n_removed
+FROM rebuilt
+"""
+
+
 # Distributed BPE tokenizer training (operators/bpe.py)
 _BPE_MERGES = 16
 
@@ -3310,6 +3375,7 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "bm25_topk_documents": (q_bm25_topk_documents, _sql_bm25_topk()),
     "bm25_topk_batch_documents": (q_bm25_topk_batch_documents,
                                   _sql_bm25_topk_batch()),
+    "span_dedup_documents": (q_span_dedup_documents, _sql_span_dedup()),
     "bpe_pair_counts_documents": (q_bpe_pair_counts_documents,
                                   _sql_bpe_pair_counts()),
     "bpe_train_merges": (q_bpe_train_merges, _sql_bpe_train_merges()),
@@ -3411,6 +3477,7 @@ _NEVER_CERTIFIED = [
     "incremental_lsh_pairs",
     "bm25_topk_documents",
     "bm25_topk_batch_documents",
+    "span_dedup_documents",
     "bpe_pair_counts_documents",
     "bpe_train_merges",
     "ngram_lm_counts_documents",

@@ -650,3 +650,34 @@ def test_bpe_udf_matches_expr(spark):
     ).collect()}
     for k in via_expr:
         assert via_expr[k] == via_udf[k], (k, via_expr[k], via_udf[k])
+
+
+def test_span_dedup_semantics(spark):
+    """First occurrence kept globally; later spans removed with overlap
+    union; sub-window docs and null/empty text pass through."""
+    from discoverx_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame([
+        (1, "a b c d e f g h x y z"),
+        (2, "p q a b c d e f g h r"),          # dup span at pos 2
+        (3, "a b c d e f g h i"),              # overlapping dups pos 0+1
+        (4, "short doc"),                      # < window: untouched
+        (5, None),
+        (6, ""),
+    ], "doc_id long, text string")
+    got = {r["id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+           for r in span_dedup(df, "text", "doc_id", window=8,
+                               hash_mode="gram").collect()}
+    assert got[1] == ("a b c d e f g h x y z", 11, 0)  # first occurrence
+    assert got[2] == ("p q r", 11, 8)
+    # doc 3: grams at pos 0 ("a..h", dup of doc1 pos0) and pos 1
+    # ("b..i", unique) -> only [0,8) removed, token 'i' survives
+    assert got[3] == ("i", 9, 8)
+    assert got[4] == ("short doc", 2, 0)
+    assert got[5] == (None, 0, 0)
+    assert got[6] == ("", 0, 0)
+
+    # production hash family agrees with the gram-string family
+    got_xx = {r["id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+              for r in span_dedup(df, "text", "doc_id", window=8).collect()}
+    assert got_xx == got
