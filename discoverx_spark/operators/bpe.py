@@ -163,13 +163,37 @@ def make_bpe_segment_udf(merges: List[Tuple[str, str]], spark=None):
     merges apply in rank order, greedy left-to-right within each rank.
     The standard tokenizer trick — repeatedly merging the present pair
     with the lowest rank — gives the same result as one pass per rank
-    because later-rank merges can only create pairs that earlier ranks
-    already had their chance at; the rank-priority loop just skips the
-    ranks that match nothing, turning O(|merges|) passes into
+    PROVIDED the table is MONOTONE: every operand of a rank-k merge is a
+    base symbol (single character or </w>) or the product of a merge
+    with rank < k.  Every table produced by actual BPE training
+    (:func:`bpe_train` or any standard trainer) is monotone by
+    construction — a symbol cannot be merged before it exists — and the
+    property is what guarantees later-rank merges never create a pair an
+    earlier rank still wants.  Hand-written non-monotone tables would
+    diverge between the two algorithms, so the table is VALIDATED here
+    (monotone + duplicate-free) and rejected with ValueError otherwise.
+    The rank-priority loop then turns O(|merges|) passes into
     O(word_len) merge steps per word.  Per-task state is the rank dict
     (built once per worker); pass ``spark`` to ship large merge tables
     as a session broadcast instead of a task-closure copy
     (functions/models.py pattern)."""
+    produced = set()
+    seen_pairs = set()
+    for i, (left, right) in enumerate(merges):
+        for operand in (left, right):
+            if len(operand) == 1 or operand == END_OF_WORD \
+                    or operand in produced:
+                continue
+            raise ValueError(
+                f"non-monotone merge table: rank-{i} operand {operand!r} "
+                f"is neither a base symbol nor the product of an earlier "
+                f"merge — rank-priority application would diverge from "
+                f"rank-order application")
+        if (left, right) in seen_pairs:
+            raise ValueError(f"duplicate merge pair at rank {i}: "
+                             f"({left!r}, {right!r})")
+        seen_pairs.add((left, right))
+        produced.add(left + right)
     # one payload holding both lookup directions; when broadcasting, the
     # closure must hold NO direct reference to it (a captured free
     # variable is pickled into every task regardless, defeating the

@@ -841,77 +841,92 @@ def span_dedup(df: DataFrame, text_col: str, id_col: str,
     """Remove token spans duplicated ACROSS the corpus — the
     exact-substring dedup role (Lee et al. 2021, "Deduplicating Training
     Data Makes Language Models Better"), realised as fixed-width token
-    windows instead of suffix arrays: every ``window``-gram that appears
-    more than once corpus-wide keeps only its globally-first occurrence
+    windows instead of suffix arrays: every ``window``-gram (matched on
+    LOWERCASED tokens, like every dedup operator here) that appears more
+    than once corpus-wide keeps only its globally-first occurrence
     (min (doc_id, position)); every other occurrence's token span is
     removed, overlapping removals unioned per document.
 
     Single-pass semantics (like the paper): spans are judged against the
     ORIGINAL text — removals do not cascade into new adjacencies.
-    Output text is token-canonical (surviving tokens joined by single
-    spaces); documents shorter than ``window`` tokens pass through
-    unchanged.
+    Output text is token-canonical in WHITESPACE only (surviving tokens
+    joined by single spaces, ORIGINAL CASE preserved — matching is
+    case-insensitive, rebuilding is not destructive); documents shorter
+    than ``window`` tokens pass through unchanged.
 
     Spark shape (the line_dedup discipline at token granularity):
 
     * grams are hashed BEFORE the shuffle — only (key, doc_id, pos)
-      short rows move, never text.  ``xxhash64`` keys in production;
-      ``hash_mode="gram"`` shuffles the gram string itself, which the
-      ANSI-SQL oracle replays exactly (md5-family tradeoff as ever).
+      short rows move, never text.  Production keys are a dual-seed
+      ``xxhash64`` struct (128 effective bits): this operator DESTROYS
+      data on key equality, and a single 64-bit key at 10^12+ distinct
+      grams expects thousands of birthday collisions (the line_dedup
+      argument, verbatim).  ``hash_mode="gram"`` shuffles the gram
+      string itself, which the ANSI-SQL oracle replays exactly.
     * first-occurrence election is one ``groupBy(key)`` with a
       ``min(struct(doc_id, pos))`` — map-side combined, no window
       function over the corpus.
-    * duplicate positions come back to their documents as ONE
-      position-list join (ints, not text), and the span union + rebuild
-      is a zero-shuffle projection (filter over the token index array).
+    * duplicate spans explode into covered token positions (ints, ≤
+      ``window`` per duplicate) that return to their documents as ONE
+      collect_set join; the rebuild looks each token index up in a
+      per-row hash map materialized as a COLUMN (an exists/contains
+      over the removal list inside the filter lambda would be
+      O(tokens × removals) per boilerplate-heavy doc, and an inline map
+      expression would be re-built per element by Catalyst's lambda
+      inlining — the line_dedup lessons, verbatim).
 
     Returns ``(id, clean_text, n_tokens, n_removed)``.
     """
-    from ..functions.text import tokens_sql_expr
-
     if window < 1:
         raise ValueError("window must be >= 1")
-    toks = tokens_sql_expr(text_col)
-    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    # gram matching tokenizes LOWERCASED text (tokens_expr via
+    # shingles_expr); the rebuild tokenizes the ORIGINAL text with the
+    # same \S+ boundaries — lowercasing never changes token boundaries,
+    # so positions align between the two sides by construction
+    toks_lower = tokens_expr(text_col)
+    toks_orig = F.regexp_extract_all(F.col(text_col), F.lit(r"(\S+)"), 1)
+    base = df.select(F.col(id_col).alias("id"), toks_orig.alias("_toks"))
 
     grams = shingles_expr(F.col(text_col), n=window)
     if hash_mode == "gram":
         key = lambda g: g  # noqa: E731 - oracle-replayable identity key
+    elif hash_mode == "xxhash64":
+        key = lambda g: F.struct(  # noqa: E731
+            F.xxhash64(g, F.lit(0)).alias("h0"),
+            F.xxhash64(g, F.lit(1)).alias("h1"))
     else:
         key = _hash_fn(hash_mode, 0)
     occs = (df.select(F.col(id_col).alias("id"),
-                      F.posexplode(F.when(F.size(toks) >= window, grams)
+                      F.posexplode(F.when(F.size(toks_lower) >= window,
+                                          grams)
                                    .otherwise(F.slice(grams, 1, 0)))
                       .alias("pos", "gram"))
             .select("id", "pos", key(F.col("gram")).alias("_k")))
     first = occs.groupBy("_k").agg(
         F.min(F.struct("id", "pos")).alias("_first"),
         F.count(F.lit(1)).alias("_n"))
-    dups = (occs.join(first.filter(F.col("_n") > 1), "_k")
-            .filter((F.col("id") != F.col("_first.id"))
-                    | (F.col("pos") != F.col("_first.pos")))
-            .groupBy("id")
-            .agg(F.sort_array(F.collect_list("pos")).alias("_dup_pos")))
-
-    out = base.join(dups, "id", "left")
-    n = F.size("_toks")
-    empty_ints = F.slice(F.sequence(F.lit(0), F.lit(0)), 1, 0)
-    # sequence(0, n-1) at n=0 would yield [0, -1] (Spark picks step -1
-    # when stop < start) — guard the empty-document case explicitly
-    idx = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(empty_ints)
-    dup_pos = F.coalesce(F.col("_dup_pos"), empty_ints)
     w = F.lit(window)
+    covered = (occs.join(first.filter(F.col("_n") > 1), "_k")
+               .filter((F.col("id") != F.col("_first.id"))
+                       | (F.col("pos") != F.col("_first.pos")))
+               .select("id", F.explode(
+                   F.sequence(F.col("pos"), F.col("pos") + w - 1))
+                   .alias("rm"))
+               .groupBy("id")
+               .agg(F.collect_set("rm").alias("_rm_pos")))
+
+    rm = F.coalesce(F.col("_rm_pos"), F.array().cast("array<int>"))
+    out = (base.join(covered, "id", "left")
+           .withColumn("_rm_map", F.map_from_arrays(
+               rm, F.transform(rm, lambda _: F.lit(True)))))
+    n = F.size("_toks")
     kept = F.filter(
-        F.zip_with(idx, F.col("_toks"),
-                   lambda i, t: F.struct(i.alias("i"), t.alias("t"))),
-        lambda s: ~F.exists(dup_pos,
-                            lambda p: (p <= s["i"]) & (s["i"] < p + w)))
+        F.col("_toks"),
+        lambda t, i: F.try_element_at(F.col("_rm_map"), i).isNull())
     return (out.select(
         "id",
         F.when(F.col("_toks").isNull(), F.lit(None).cast("string"))
-        .when(n >= 1,
-              F.array_join(F.transform(kept, lambda s: s["t"]), " "))
-        .otherwise(F.lit("")).alias("clean_text"),
+        .otherwise(F.array_join(kept, " ")).alias("clean_text"),
         F.coalesce(n, F.lit(0)).alias("n_tokens"),
         (F.coalesce(n, F.lit(0)) - F.coalesce(F.size(kept), F.lit(0)))
         .alias("n_removed")))

@@ -1276,12 +1276,14 @@ def _sql_span_dedup() -> str:
     w = _SPAN_W
     return rf"""
 WITH toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '(\S+)', 1) AS t
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '(\S+)', 1) AS tl,
+         regexp_extract_all(text, '(\S+)', 1) AS torig
   FROM documents),
 occs AS (
   SELECT doc_id, i - 1 AS pos,
-         array_to_string(list_slice(t, i, i + {w - 1}), ' ') AS k
-  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {w} + 2)) AS i
+         array_to_string(list_slice(tl, i, i + {w - 1}), ' ') AS k
+  FROM (SELECT doc_id, tl, unnest(range(1, len(tl) - {w} + 2)) AS i
         FROM toks)),
 ranked AS (
   SELECT doc_id, pos, k,
@@ -1292,19 +1294,19 @@ dups AS (
   SELECT doc_id, list(pos ORDER BY pos) AS dup_pos
   FROM ranked WHERE cnt > 1 AND rn > 1 GROUP BY doc_id),
 rebuilt AS (
-  SELECT toks.doc_id, toks.t,
-         list_filter(range(0, len(toks.t)),
+  SELECT toks.doc_id, toks.torig, toks.tl,
+         list_filter(range(0, len(toks.tl)),
                      j -> len(list_filter(
                             coalesce(dups.dup_pos, CAST([] AS BIGINT[])),
                             p -> p <= j AND j < p + {w})) = 0) AS kept
   FROM toks LEFT JOIN dups USING (doc_id))
 SELECT doc_id,
-       CASE WHEN len(t) >= 1
-            THEN coalesce(array_to_string(
-                   list_transform(kept, j -> t[j + 1]), ' '), '')
-            ELSE '' END AS clean_text,
-       CAST(len(t) AS INTEGER) AS n_tokens,
-       CAST(len(t) - len(kept) AS INTEGER) AS n_removed
+       CASE WHEN tl IS NULL THEN NULL
+            ELSE coalesce(array_to_string(
+                   list_transform(kept, j -> torig[j + 1]), ' '), '')
+       END AS clean_text,
+       CAST(coalesce(len(tl), 0) AS INTEGER) AS n_tokens,
+       CAST(coalesce(len(tl) - len(kept), 0) AS INTEGER) AS n_removed
 FROM rebuilt
 """
 

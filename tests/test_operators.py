@@ -681,3 +681,36 @@ def test_span_dedup_semantics(spark):
     got_xx = {r["id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
               for r in span_dedup(df, "text", "doc_id", window=8).collect()}
     assert got_xx == got
+
+    # case-insensitive MATCHING, case-PRESERVING rebuild: doc 8's span
+    # duplicates doc 7 modulo case and is removed; doc 7's original case
+    # survives in the output
+    df2 = spark.createDataFrame([
+        (7, "The Quick Brown Fox Jumps Over The Lazy Dog OK"),
+        (8, "pre the quick brown fox jumps over the lazy dog post"),
+    ], "doc_id long, text string")
+    got2 = {r["id"]: (r["clean_text"], r["n_removed"]) for r in
+            span_dedup(df2, "text", "doc_id", window=8,
+                       hash_mode="gram").collect()}
+    assert got2[7] == ("The Quick Brown Fox Jumps Over The Lazy Dog OK", 0)
+    # doc 8's grams at pos 1 and 2 duplicate doc 7's at pos 0 and 1
+    # (case-insensitively): covered positions 1..9, 'pre'/'post' survive
+    assert got2[8] == ("pre post", 9)
+
+
+def test_bpe_udf_rejects_non_monotone_tables(spark):
+    """Rank-priority application is only equivalent to rank-order
+    application for monotone tables (every trained table is); the UDF
+    factory validates and rejects hand-written non-monotone input, where
+    the two algorithms genuinely diverge (e.g. [(bc,d),(a,b),(b,c)] on
+    'bcd')."""
+    import pytest
+
+    from discoverx_spark.operators.bpe import make_bpe_segment_udf
+
+    with pytest.raises(ValueError, match="non-monotone"):
+        make_bpe_segment_udf([("bc", "d"), ("a", "b"), ("b", "c")])
+    with pytest.raises(ValueError, match="duplicate merge pair"):
+        make_bpe_segment_udf([("a", "b"), ("a", "b")])
+    # monotone multi-char chain is fine
+    make_bpe_segment_udf([("a", "b"), ("ab", "c")])
