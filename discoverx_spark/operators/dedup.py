@@ -906,17 +906,22 @@ def span_dedup(df: DataFrame, text_col: str, id_col: str,
         F.min(F.struct("id", "pos")).alias("_first"),
         F.count(F.lit(1)).alias("_n"))
     w = F.lit(window)
-    covered = (occs.join(first.filter(F.col("_n") > 1), "_k")
-               .filter((F.col("id") != F.col("_first.id"))
-                       | (F.col("pos") != F.col("_first.pos")))
-               .select("id", F.explode(
-                   F.sequence(F.col("pos"), F.col("pos") + w - 1))
-                   .alias("rm"))
-               .groupBy("id")
-               .agg(F.collect_set("rm").alias("_rm_pos")))
+    # expand duplicate spans into covered positions INSIDE the aggregate
+    # projection: the shuffle carries only span starts (not window ×
+    # starts), and the expansion is evaluated exactly once per group —
+    # downstream references see a cheap attribute, so Catalyst's
+    # projection collapsing cannot re-inline the expensive expression
+    # into multiple evaluation sites
+    dups = (occs.join(first.filter(F.col("_n") > 1), "_k")
+            .filter((F.col("id") != F.col("_first.id"))
+                    | (F.col("pos") != F.col("_first.pos")))
+            .groupBy("id")
+            .agg(F.array_distinct(F.flatten(F.transform(
+                F.collect_list("pos"),
+                lambda p: F.sequence(p, p + w - 1)))).alias("_rm_pos")))
 
     rm = F.coalesce(F.col("_rm_pos"), F.array().cast("array<int>"))
-    out = (base.join(covered, "id", "left")
+    out = (base.join(dups, "id", "left")
            .withColumn("_rm_map", F.map_from_arrays(
                rm, F.transform(rm, lambda _: F.lit(True)))))
     n = F.size("_toks")
