@@ -948,9 +948,9 @@ WITH toks AS (
   FROM documents),
 cum AS (
   SELECT lang, id, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY id
-                             ROWS UNBOUNDED PRECEDING) - n_tokens
-           AS start_offset
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_offset
   FROM toks)
 SELECT lang, id, n_tokens, start_offset,
        CAST(floor(start_offset / 256.0) AS BIGINT) AS bin_id
@@ -1342,7 +1342,7 @@ syms AS (
 pairs AS (
   SELECT s[i] AS l, s[i+1] AS r, freq
   FROM (SELECT s, freq, unnest(range(1, len(s))) AS i FROM syms))
-SELECT l AS "left", r AS "right", sum(freq) AS cnt
+SELECT l AS "left", r AS "right", CAST(sum(freq) AS BIGINT) AS cnt
 FROM pairs GROUP BY l, r
 """
 
@@ -2124,9 +2124,9 @@ sampled AS (
   SELECT * FROM dedup WHERE {_sql_bucket('doc_id')} < {thr}),
 cum AS (
   SELECT lang, doc_id AS id, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) - n_tokens
-           AS start_offset
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_offset
   FROM sampled)
 SELECT lang, id, n_tokens, start_offset,
        CAST(floor(start_offset / 512.0) AS BIGINT) AS bin_id
@@ -3458,48 +3458,15 @@ _SENTINELS = [
 ]
 
 # Names with no driver-green CORRECTNESS row in any prior round
-# (computed from CORRECTNESS_r01..r03; see tests/test_registry_window.py
-# which recomputes this from the artifacts on disk).
+# (computed from CORRECTNESS_r01..r04; see tests/test_registry_window.py
+# which recomputes this from the artifacts on disk).  r04 certified all
+# window entries except three whose oracle SQL returned DuckDB HUGEINT
+# (uncast SUM) — value-identical, hash-mismatched; the CASTs are fixed
+# and they go first for re-certification.  New round-5 entries follow.
 _NEVER_CERTIFIED = [
-    "sample_documents",
-    "stratified_sample_documents",
     "pack_sequences_documents",
-    "vocab_top_tokens",
-    "domain_capped_documents",
     "curation_pipeline_documents",
-    "char_bigram_counts",
-    "csv_roundtrip_source",
-    "explorer_stack_strings",
-    "merge_upsert_roundtrip",
-    "msql_compile_units",
-    "explorer_having_columns",
-    "scan_classes_documents",
-    "json_roundtrip_source",
-    "scrub_by_class_roundtrip",
-    "incremental_lsh_pairs",
-    "bm25_topk_documents",
-    "bm25_topk_batch_documents",
-    "span_dedup_documents",
     "bpe_pair_counts_documents",
-    "bpe_train_merges",
-    "ngram_lm_counts_documents",
-    "stupid_backoff_documents",
-    "dsir_weights_documents",
-    "dsir_resample_documents",
-    "sparse_neardup_documents",
-    "compression_ratio_transcripts",
-    "contamination_check",
-    "line_dedup_documents",
-    "semantic_dedup_embeddings",
-    "quality_classifier_documents",
-    "quality_classifier_join_documents",
-    "html_extract_documents",
-    "domain_blocklist_documents",
-    "length_quantiles_documents",
-    "conversation_gates",
-    "mixing_rates_documents",
-    "incremental_exact_dedup",
-    "line_dedup_within_documents",
 ]
 
 

@@ -45,6 +45,26 @@ def _sorted_rows(cols, rows):
 
 ORACLE_NAMES = sorted(entrymod.oracle_sql().keys())
 
+# DuckDB types whose value serialization diverges from Spark's in the
+# driver's hash compare even when the Python values are equal (e.g. an
+# uncast SUM(BIGINT) returns HUGEINT/int128).  Every oracle column must
+# stay inside the BIGINT/DOUBLE/VARCHAR/BOOL/DATE/TS family — nested
+# list/struct element types included (checked as substrings).
+_FORBIDDEN_DUCK_TYPES = (
+    "HUGEINT", "DECIMAL", "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_types_are_hash_safe(duck, name):
+    rel = duck.sql(entrymod.oracle_sql()[name])
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        for bad in _FORBIDDEN_DUCK_TYPES:
+            assert bad not in t, (
+                f"{name}.{col}: DuckDB type {t} will hash-mismatch the "
+                f"driver compare — CAST it (e.g. AS BIGINT) in the oracle SQL")
+
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(spark, duck, name):

@@ -36,7 +36,12 @@ def _driver_green_names() -> set[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("err") is None and row.get("rows_match"):
+            # oracle-backed rows carry hash_match; a False there means the
+            # driver compared values and they hashed differently — NOT
+            # certified even though row counts lined up (the r04 HUGEINT
+            # lesson).  Rows-only checks (no oracle SQL) omit hash_match.
+            if (row.get("err") is None and row.get("rows_match")
+                    and row.get("hash_match") is not False):
                 green.add(name)
     return green
 
