@@ -65,6 +65,10 @@ HEADLINE = [
     # duplicate-span dedup, production xxhash64 keys (bench-only twin;
     # the gram-string family above it is the oracle-checked version)
     "span_dedup_xxhash_sf",
+    # round-5: the transcript-native composed pipeline (conversation
+    # gates → flatten → quality classifier → DSIR top-k) certified in
+    # composition — tracked so composition overhead stays visible
+    "curation_pipeline_v2",
 ]
 
 

@@ -52,6 +52,7 @@ class DataExplorer:
     _having_columns: tuple = ()
     _having_tags: tuple = ()
     _having_column_tags: tuple = ()
+    _data_source_formats: tuple = ()
     _sql_template: Optional[str] = None
 
     def having_columns(self, *columns: str) -> "DataExplorer":
@@ -74,10 +75,46 @@ class DataExplorer:
                        _having_column_tags=self._having_column_tags
                        + ((key, value),))
 
+    def with_data_source_formats(self,
+                                 formats: Optional[List[str]] = None
+                                 ) -> "DataExplorer":
+        """Restrict the universe to tables stored in one of the given
+        formats (reference explorer.py:77-85; its default is DELTA-only —
+        here the production format is ICEBERG and the sandbox emulation
+        PARQUET, so that pair is the default)."""
+        fmts = tuple(f.upper() for f in (formats or ["ICEBERG", "PARQUET"]))
+        return replace(self, _data_source_formats=fmts)
+
     def with_sql(self, template: str) -> "DataExplorer":
         """Attach a ``{full_table_name}``-style SQL template
         (explorer.py:99-125)."""
         return replace(self, _sql_template=template)
+
+    def unpivot_string_columns(self,
+                               sample_size: Optional[int] = None
+                               ) -> "DataExplorer":
+        """Melt every STRING column of every matched table into
+        (column_name, string_value) rows (reference explorer.py:127-143)
+        — the named spelling of the ``{stack_string_columns}`` template.
+        ``sample_size`` bounds rows per table via TABLESAMPLE (a
+        row-limit pushed to the scan, not a post-filter)."""
+        return self._unpivot_template("{stack_string_columns}", sample_size)
+
+    def unpivot_all_columns(self,
+                            sample_size: Optional[int] = None
+                            ) -> "DataExplorer":
+        """Melt EVERY column (cast to string) of every matched table into
+        (column_name, string_value) rows (reference explorer.py:145-160)."""
+        return self._unpivot_template("{stack_all_columns_as_string}",
+                                      sample_size)
+
+    def _unpivot_template(self, stack_var: str,
+                          sample_size: Optional[int]) -> "DataExplorer":
+        template = (f"SELECT {stack_var} AS (column_name, string_value) "
+                    f"FROM {{full_table_name}}")
+        if sample_size is not None:
+            template += f" TABLESAMPLE ({int(sample_size)} ROWS)"
+        return self.with_sql(template)
 
     # -- resolution ---------------------------------------------------------
 
@@ -95,6 +132,10 @@ class DataExplorer:
         for key, value in self._having_column_tags:
             names = [n for n in names
                      if self.registry.columns_with_tag(n, key, value)]
+        if self._data_source_formats:
+            names = [n for n in names
+                     if self.registry.data_source_format(n)
+                     in self._data_source_formats]
         return names
 
     def _sql_for(self, name: str, df=None) -> str:

@@ -161,6 +161,17 @@ def load_stopwords(path: str) -> Dict[str, List[str]]:
 _BROADCASTS: dict = {}
 
 
+def content_key(prefix: str, payload_bytes: bytes) -> str:
+    """Collision-resistant cache key for :func:`broadcast_model` — a
+    sha256 digest of the payload's byte serialization.  Callers must NOT
+    key on Python ``hash()`` (32/64-bit, collides at scale, and salted
+    per-process for str/bytes): a collision would silently reuse the
+    WRONG model for every row the UDF touches."""
+    import hashlib
+
+    return f"{prefix}_{hashlib.sha256(payload_bytes).hexdigest()}"
+
+
 def broadcast_model(spark, key: str, loader, path: Optional[str] = None):
     """Load a model artifact once per (session, key) and ship it to the
     executors as a Spark broadcast variable — the closure then carries a
@@ -169,8 +180,17 @@ def broadcast_model(spark, key: str, loader, path: Optional[str] = None):
 
     ``loader`` is a zero-arg callable (or one of the ``load_*`` functions
     above, in which case ``path`` is passed to it).  Returns the
-    ``Broadcast``; call ``.value`` inside the UDF."""
-    sc_key = (spark.sparkContext.applicationId, key)
+    ``Broadcast``; call ``.value`` inside the UDF.  Key with
+    :func:`content_key`, never ``hash()``."""
+    app_id = spark.sparkContext.applicationId
+    # PySpark permits ONE active SparkContext per process, so every cache
+    # entry under a different applicationId belongs to a stopped session:
+    # its broadcast handle is dead weight (and unusable).  Evict them here
+    # so a long-lived process cycling sessions doesn't leak payloads.
+    stale = [k for k in _BROADCASTS if k[0] != app_id]
+    for k in stale:
+        del _BROADCASTS[k]
+    sc_key = (app_id, key)
     if sc_key not in _BROADCASTS:
         payload = loader(path) if path is not None else loader()
         _BROADCASTS[sc_key] = spark.sparkContext.broadcast(payload)

@@ -97,6 +97,15 @@ def stupid_backoff_score(df: DataFrame, text_col: str, id_col: str,
     per-doc mean folds ln S in position order (deterministic float
     association, the BM25/classifier policy).  Empty docs yield
     ``sb_ppl = NULL`` with ``n_tokens = 0``."""
+    # the model feeds SIX branches below (c1×2, c2×2, c3, total): without
+    # a lineage cut, a caller passing the raw word_ngram_counts plan would
+    # re-run the training aggregation once per branch.  A lazy
+    # localCheckpoint makes the operator self-sufficient — the counts RDD
+    # materializes once at first use and every branch scans it (the
+    # scoring plan shows ExistingRDD scans, no training aggregates;
+    # plan-tested).  Already-checkpointed input costs one cheap re-cache
+    # of a pruned, broadcast-sized table.
+    counts = counts.localCheckpoint(eager=False)
     c1 = counts.filter(F.col("n") == 1).select(
         F.col("gram").alias("_g1"), F.col("cnt").alias("_c1"))
     c2 = counts.filter(F.col("n") == 2).select(

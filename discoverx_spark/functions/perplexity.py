@@ -116,9 +116,9 @@ def make_perplexity_udf(lm: Optional[np.ndarray] = None, spark=None):
     lm_matrix = CHAR_LM if lm is None else lm
     bcast = None
     if spark is not None:
-        from .models import broadcast_model
+        from .models import broadcast_model, content_key
 
-        key = f"char_lm_{hash(lm_matrix.tobytes())}"
+        key = content_key("char_lm", lm_matrix.tobytes())
         bcast = broadcast_model(spark, key, lambda m=lm_matrix: m)
         # drop the direct reference: a closure free variable is pickled
         # into EVERY task regardless of which branch runs, which would

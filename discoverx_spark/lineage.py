@@ -90,18 +90,16 @@ class ResumableRunner:
     def lineage(self) -> Optional[DataFrame]:
         # ONLY a missing path means "fresh start" — swallowing every
         # exception here would turn a transient read failure into a
-        # silent full reprocess (with duplicate lineage/metrics appends)
-        from pyspark.errors import AnalysisException
-        try:
-            # mergeSchema: a state_dir written before snapshot-id
-            # tracking has 6-column files alongside new 7-column appends;
-            # without schema merge an arbitrary footer wins and the
-            # snapshot_id column nondeterministically disappears,
-            # silently reprocessing every partition on pinned resume
-            return (self.spark.read.option("mergeSchema", "true")
-                    .parquet(self.lineage_path))
-        except AnalysisException:
-            return None
+        # silent full reprocess (with duplicate lineage/metrics appends).
+        # mergeSchema: a state_dir written before snapshot-id tracking has
+        # 6-column files alongside new 7-column appends; without schema
+        # merge an arbitrary footer wins and the snapshot_id column
+        # nondeterministically disappears, silently reprocessing every
+        # partition on pinned resume
+        from .scanner import _read_parquet_if_exists
+
+        return _read_parquet_if_exists(self.spark, self.lineage_path,
+                                       mergeSchema="true")
 
     def metrics(self, latest_only: bool = True) -> Optional[DataFrame]:
         """Per-(partition, class) metrics.  ``latest_only`` (default)
@@ -110,10 +108,10 @@ class ResumableRunner:
         its metrics a second time, and latest-wins is what consumers
         want (the reprocessed values are authoritative and, the pipeline
         being deterministic, identical)."""
-        from pyspark.errors import AnalysisException
-        try:
-            m = self.spark.read.parquet(self.metrics_path)
-        except AnalysisException:
+        from .scanner import _read_parquet_if_exists
+
+        m = _read_parquet_if_exists(self.spark, self.metrics_path)
+        if m is None:
             return None
         if latest_only:
             from pyspark.sql.window import Window

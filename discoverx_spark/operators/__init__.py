@@ -1,7 +1,8 @@
 from .convagg import (conversation_stats, conversation_fingerprints,
                       with_conversation_stats, role_alternation_violations,
                       dedup_conversations, conversation_minhash_signatures,
-                      conversation_near_duplicates, conversation_gates)
+                      conversation_near_duplicates, conversation_gates,
+                      tool_call_stats)
 from .dedup import (tokens_expr, shingles_expr, exact_duplicates, dedup_exact,
                     span_dedup,
                     minhash_signatures, minhash_signature_exprs,
@@ -32,6 +33,7 @@ __all__ = [
     "conversation_stats", "conversation_fingerprints",
     "with_conversation_stats", "role_alternation_violations",
     "dedup_conversations", "lsh_near_duplicates", "conversation_gates",
+    "tool_call_stats",
     "conversation_minhash_signatures", "conversation_near_duplicates",
     "tokens_expr", "shingles_expr", "exact_duplicates", "dedup_exact",
     "minhash_signatures", "minhash_signature_exprs", "minhash_struct_expr",

@@ -82,7 +82,11 @@ def _merge_pair_expr(syms: Column, left: str, right: str) -> Column:
     symbol — an ``aggregate`` fold with (out, carry) state plus a finish
     lambda that flushes the trailing carry."""
     merged = left + right
-    empty = F.slice(syms, 1, 0)
+    # a literal empty array, NOT slice(syms, 1, 0): referencing syms here
+    # would make every chained fold embed the previous fold's expression
+    # TWICE (input + init), exploding the plan 2^k for a k-merge batch
+    # (measured: 114 MiB task binary and executor OOM at k=15)
+    empty = F.array().cast("array<string>")
 
     def step(acc, s):
         flush_then_carry = F.struct(
@@ -105,34 +109,113 @@ def _merge_pair_expr(syms: Column, left: str, right: str) -> Column:
         .otherwise(F.concat(acc["out"], F.array(acc["carry"]))))
 
 
+def _select_exact_batch(cands: List[Tuple[str, str, int]],
+                        exhaustive: bool) -> List[Tuple[str, str]]:
+    """From one scan's top-R candidates (sorted cnt desc, pair asc),
+    pick the longest prefix provably equal to applying the merges one
+    re-scan at a time.  Two rules make it exact:
+
+    * **Disjoint prefix.**  Members must be pairwise non-interacting:
+      operands disjoint AND no product string colliding with another
+      member's operands or product.  Disjoint operands preserve each
+      member's count exactly while earlier members apply (a merge site
+      of one cannot touch a site of the other).
+    * **Strict-majority cut.**  Applying a batch member (l,r) CREATES
+      pairs — (x, lr) and (lr, y) at its merge sites — and each created
+      pair's count is bounded by an already-existing pair that OVERLAPS
+      (l,r): site "x l r" contains (x, l).  Every overlapping pair sorts
+      at or after the first candidate that conflicts with the prefix
+      (q*): one sorting earlier would itself have stopped the prefix or
+      excluded its partner.  So created counts ≤ cnt(q*), and members
+      with cnt STRICTLY greater than cnt(q*) still outrank every
+      created pair (ties must be cut: a created pair tying on count
+      could win the pair-asc tie-break).  When the scan was exhaustive
+      (fewer distinct pairs than R) and conflict-free, there is no q*
+      and the whole prefix is safe.
+
+    Falls back to the plain argmax (always exact) when the cut empties
+    the batch."""
+    batch: List[Tuple[str, str]] = []
+    used: set = set()       # operands + products of batch members
+    products: set = set()
+    stop_cnt = None
+    for left, right, cnt in cands:
+        prod = left + right
+        if (left in used or right in used or prod in used
+                or left in products or right in products
+                or prod in products):
+            stop_cnt = cnt
+            break
+        batch.append((left, right))
+        used.update((left, right))
+        products.add(prod)
+    else:
+        # no conflict inside the collected window; unseen pairs below
+        # rank R (if any) still bound created counts
+        stop_cnt = None if exhaustive else cands[-1][2]
+    if stop_cnt is not None:
+        batch = [(l, r) for (l, r), (_, _, c) in zip(batch, cands)
+                 if c > stop_cnt]
+    if not batch:
+        batch = [(cands[0][0], cands[0][1])]
+    return batch
+
+
 def bpe_train(df: DataFrame, text_col: str, num_merges: int,
-              checkpoint_every: int = 8) -> List[Tuple[str, str]]:
+              checkpoint_every: int = 8, batch_size: int = 16,
+              stats: dict = None) -> List[Tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus.  Returns the
-    ranked merge list [(left, right), ...].  Driver traffic is ONE row
-    per iteration (the argmax pair); the word table stays distributed
-    throughout."""
+    ranked merge list [(left, right), ...], bit-identical to the
+    classic one-merge-per-scan algorithm (the ``_py_bpe_reference``
+    oracle) for ANY ``batch_size``.
+
+    Scale shape: the word table stays distributed throughout; each
+    statistics pass collects only the top ``batch_size`` rows and
+    applies the provably-safe prefix (see :func:`_select_exact_batch`)
+    in one rewrite — on Zipf-shaped corpora this cuts the sequential
+    driver round-trips from ``num_merges`` to roughly
+    ``num_merges/batch_size`` (a 30k-merge production vocabulary stops
+    being 30k sequential Spark jobs).  Ties and interacting pairs
+    degrade gracefully toward one merge per scan, never past it.
+    ``stats`` (optional dict) receives ``{"scans": n}`` for
+    observability and tests."""
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
     words = (word_frequencies(df, text_col)
              .select(_symbols_expr("word").alias("symbols"), "freq")
              .localCheckpoint(eager=True))
     merges: List[Tuple[str, str]] = []
-    for i in range(num_merges):
+    scans = 0
+    since_ckpt = 0
+    while len(merges) < num_merges:
         # struct asc ordering = (l, r) tuple order — the deterministic
         # tie-break the reference implementation mirrors
         top = (_pair_counts(words)
-               .orderBy(F.desc("cnt"), F.asc("pair")).limit(1).collect())
+               .orderBy(F.desc("cnt"), F.asc("pair"))
+               .limit(batch_size).collect())
+        scans += 1
         if not top:
             break
-        left, right = top[0]["pair"]["l"], top[0]["pair"]["r"]
-        merges.append((left, right))
-        if i == num_merges - 1:
+        cands = [(r["pair"]["l"], r["pair"]["r"], r["cnt"]) for r in top]
+        batch = _select_exact_batch(cands, exhaustive=len(top) < batch_size)
+        batch = batch[:num_merges - len(merges)]
+        merges.extend(batch)
+        if len(merges) >= num_merges:
             break  # the rewritten table would never be read
-        words = words.select(
-            _merge_pair_expr(F.col("symbols"), left, right).alias("symbols"),
-            "freq")
-        # truncate the per-iteration fold lineage (CC discipline): the
-        # plan otherwise nests num_merges aggregate folds
-        if (i + 1) % checkpoint_every == 0:
+        # ONE rewrite pass for the whole batch: the folds chain in rank
+        # order, which is exactly the sequential application order
+        syms = F.col("symbols")
+        for left, right in batch:
+            syms = _merge_pair_expr(syms, left, right)
+        words = words.select(syms.alias("symbols"), "freq")
+        # truncate the fold lineage (CC discipline): the plan otherwise
+        # nests an unbounded number of aggregate folds
+        since_ckpt += len(batch)
+        if since_ckpt >= checkpoint_every:
             words = words.localCheckpoint(eager=True)
+            since_ckpt = 0
+    if stats is not None:
+        stats["scans"] = scans
     return merges
 
 
@@ -193,7 +276,21 @@ def make_bpe_segment_udf(merges: List[Tuple[str, str]], spark=None):
             raise ValueError(f"duplicate merge pair at rank {i}: "
                              f"({left!r}, {right!r})")
         seen_pairs.add((left, right))
-        produced.add(left + right)
+        prod = left + right
+        if prod in produced:
+            # two distinct pairs with the same product (('a','bc') then
+            # ('ab','c')) pass the operand check, yet the later merge can
+            # recreate a pair an earlier rank still wants — rank-priority
+            # application would then diverge from bpe_segment_expr's
+            # one-pass-per-rank semantics.  Rejecting loudly beats
+            # silently diverging; such tables (never observed from
+            # bpe_train at tested scales) must use bpe_segment_expr.
+            raise ValueError(
+                f"rank-{i} merge ({left!r}, {right!r}) re-produces symbol "
+                f"{prod!r} already produced by an earlier merge — "
+                f"rank-priority segmentation is not equivalent for such "
+                f"tables")
+        produced.add(prod)
     # one payload holding both lookup directions; when broadcasting, the
     # closure must hold NO direct reference to it (a captured free
     # variable is pickled into every task regardless, defeating the
@@ -201,9 +298,9 @@ def make_bpe_segment_udf(merges: List[Tuple[str, str]], spark=None):
     payload = ({pair: i for i, pair in enumerate(merges)}, list(merges))
     bcast = None
     if spark is not None:
-        from ..functions.models import broadcast_model
+        from ..functions.models import broadcast_model, content_key
 
-        key = f"bpe_merges_{hash(tuple(merges))}"
+        key = content_key("bpe_merges", repr(merges).encode())
         bcast = broadcast_model(spark, key, lambda p=payload: p)
         payload = None
 

@@ -295,3 +295,60 @@ def conversation_gates(turns: DataFrame, min_turns: int = 2,
             & (F.col("n_alternation_violations")
                <= max_alternation_violations))
     return agg.withColumn("keep_conversation", keep)
+
+
+def tool_call_stats(turns: DataFrame,
+                    max_tool_frac: float = 0.8,
+                    max_tool_run: int = 8) -> DataFrame:
+    """Agent-transcript tool-usage profile + runaway-loop gate, per
+    conversation (the ``tool`` column of the north-rule input schema:
+    assistant/agent traces where an agent stuck re-calling the same tool
+    is a quality failure no per-turn text gate can see).
+
+    Signals: tool-call count and fraction, distinct tools used, and the
+    longest run of CONSECUTIVE same-tool calls (consecutive among the
+    conversation's tool turns in ``turn_idx`` order — interleaved
+    assistant turns do not break a loop, matching how agent executors
+    retry).  ``keep_tool_gate`` drops conversations whose tool fraction
+    exceeds ``max_tool_frac`` or whose longest same-tool run exceeds
+    ``max_tool_run``.
+
+    Plan shape: every window and aggregation partitions on ``conv_id``
+    alone (the run id is a lag-flag running sum, never a
+    ``(conv_id, tool)`` re-partition), so the operator costs ONE
+    shuffle of short ``(conv_id, turn_idx, tool)`` rows shared across
+    all stages; the text column never moves.
+
+    Returns ``(conv_id, n_turns, n_tool_calls, n_distinct_tools,
+    max_tool_run, tool_frac, keep_tool_gate)``.
+    """
+    from pyspark.sql.window import Window
+
+    base = turns.select("conv_id", "turn_idx", "role", "tool")
+    stats = base.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum((F.col("role") == "tool").cast("long")).alias("n_tool_calls"),
+        F.count_distinct(
+            F.when(F.col("role") == "tool", F.col("tool")))
+        .alias("n_distinct_tools"))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    tool_turns = base.filter(F.col("role") == "tool")
+    # gaps-and-islands without a (conv_id, tool) re-partition: a run
+    # starts where the previous tool differs (null-safe — a first turn
+    # or a genuinely NULL tool name starts its own run)
+    runs = (tool_turns
+            .withColumn("_new_run",
+                        (~F.lag("tool").over(w).eqNullSafe(F.col("tool")))
+                        .cast("long"))
+            .withColumn("_rid", F.sum("_new_run").over(w))
+            .groupBy("conv_id", "_rid").agg(F.count(F.lit(1)).alias("_run"))
+            .groupBy("conv_id").agg(F.max("_run").alias("max_tool_run")))
+    return (stats.join(runs, "conv_id", "left")
+            .withColumn("max_tool_run",
+                        F.coalesce("max_tool_run", F.lit(0)).cast("int"))
+            .withColumn("tool_frac",
+                        F.round(F.col("n_tool_calls")
+                                / F.col("n_turns").cast("double"), 6))
+            .withColumn("keep_tool_gate",
+                        (F.col("tool_frac") <= max_tool_frac)
+                        & (F.col("max_tool_run") <= max_tool_run)))

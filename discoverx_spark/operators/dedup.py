@@ -837,7 +837,8 @@ def line_dedup_within(df: DataFrame, text_col: str,
 # --------------------------------------------------------------------------
 
 def span_dedup(df: DataFrame, text_col: str, id_col: str,
-               window: int = 8, hash_mode: str = "xxhash64") -> DataFrame:
+               window: int = 8, hash_mode: str = "xxhash64",
+               min_span_tokens: int = None) -> DataFrame:
     """Remove token spans duplicated ACROSS the corpus — the
     exact-substring dedup role (Lee et al. 2021, "Deduplicating Training
     Data Makes Language Models Better"), realised as fixed-width token
@@ -875,10 +876,24 @@ def span_dedup(df: DataFrame, text_col: str, id_col: str,
       expression would be re-built per element by Catalyst's lambda
       inlining — the line_dedup lessons, verbatim).
 
+    ``min_span_tokens`` (default: off) is the Lee-et-al. maximal-span
+    guard: fixed windows alone remove every duplicated ``window``-gram,
+    over-deleting common idioms; with the guard, positions are removed
+    only where ≥ ``min_span_tokens - window + 1`` CONSECUTIVE duplicated
+    windows stack up — i.e. the duplicated region is at least
+    ``min_span_tokens`` tokens long (the paper uses 50).  Pure
+    post-processing on the per-document duplicate-start array
+    (gaps-and-islands fold inside the same aggregate projection); the
+    shuffle shape is unchanged.
+
     Returns ``(id, clean_text, n_tokens, n_removed)``.
     """
     if window < 1:
         raise ValueError("window must be >= 1")
+    if min_span_tokens is not None and min_span_tokens < window:
+        raise ValueError(
+            f"min_span_tokens ({min_span_tokens}) must be >= window "
+            f"({window}) — a duplicated window already spans that many")
     # gram matching tokenizes LOWERCASED text (tokens_expr via
     # shingles_expr); the rebuild tokenizes the ORIGINAL text with the
     # same \S+ boundaries — lowercasing never changes token boundaries,
@@ -895,7 +910,13 @@ def span_dedup(df: DataFrame, text_col: str, id_col: str,
             F.xxhash64(g, F.lit(0)).alias("h0"),
             F.xxhash64(g, F.lit(1)).alias("h1"))
     else:
-        key = _hash_fn(hash_mode, 0)
+        # no other family: a single 32/64-bit slice (md5 mode et al.)
+        # would key a DATA-DESTROYING dedup on too few bits — birthday
+        # collisions at ~10^5 distinct grams would delete unique spans,
+        # the exact failure the docstring's 128-bit argument forbids
+        raise ValueError(
+            f"span_dedup hash_mode must be 'gram' or 'xxhash64', "
+            f"got {hash_mode!r}")
     occs = (df.select(F.col(id_col).alias("id"),
                       F.posexplode(F.when(F.size(toks_lower) >= window,
                                           grams)
@@ -912,13 +933,44 @@ def span_dedup(df: DataFrame, text_col: str, id_col: str,
     # downstream references see a cheap attribute, so Catalyst's
     # projection collapsing cannot re-inline the expensive expression
     # into multiple evaluation sites
+    if min_span_tokens is None:
+        rm_expr = F.array_distinct(F.flatten(F.transform(
+            F.collect_list("pos"),
+            lambda p: F.sequence(p, p + w - 1))))
+    else:
+        # maximal-span guard: gaps-and-islands over the SORTED duplicate
+        # window starts — consecutive starts (step 1) accumulate into
+        # runs struct<s,m>; a run of m windows covers m+window-1 tokens,
+        # so only runs with m >= min_span-window+1 expand to removed
+        # positions.  All inside the one agg projection (evaluated once);
+        # the fold's array-rebuild is O(runs) per element, bounded by
+        # tokens-per-document (the line_dedup_within precedent).
+        min_run = min_span_tokens - window + 1
+        runs = F.aggregate(
+            F.array_sort(F.collect_list("pos")),
+            F.array().cast("array<struct<s:int,m:int>>"),
+            lambda acc, p: F.when(
+                (F.size(acc) > 0)
+                & (p == F.element_at(acc, -1)["s"]
+                   + F.element_at(acc, -1)["m"]),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        (F.element_at(acc, -1)["m"] + 1).alias("m"))))
+            ).otherwise(F.concat(acc, F.array(F.struct(
+                p.alias("s"), F.lit(1).alias("m"))))))
+        # distinct: two qualifying runs with start-gap < window still
+        # overlap in covered positions, and the rebuild's map_from_arrays
+        # rejects duplicate keys
+        rm_expr = F.array_distinct(F.flatten(F.transform(
+            F.filter(runs, lambda r: r["m"] >= F.lit(min_run)),
+            lambda r: F.sequence(r["s"], r["s"] + r["m"] + w - 2))))
     dups = (occs.join(first.filter(F.col("_n") > 1), "_k")
             .filter((F.col("id") != F.col("_first.id"))
                     | (F.col("pos") != F.col("_first.pos")))
             .groupBy("id")
-            .agg(F.array_distinct(F.flatten(F.transform(
-                F.collect_list("pos"),
-                lambda p: F.sequence(p, p + w - 1)))).alias("_rm_pos")))
+            .agg(rm_expr.alias("_rm_pos")))
 
     rm = F.coalesce(F.col("_rm_pos"), F.array().cast("array<int>"))
     out = (base.join(dups, "id", "left")

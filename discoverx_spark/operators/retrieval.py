@@ -126,8 +126,9 @@ def bm25_topk_batch(df: DataFrame, text_col: str, id_col: str,
     * query terms (set semantics per query, like the single-query path)
       are collected once into ONE broadcast — queries are the small side
       by definition;
-    * corpus N/avgdl is a 1-row aggregate cross-broadcast onto the
-      postings (no collect);
+    * corpus N/avgdl is ONE scalar collect for the whole batch (vs one
+      per query in the single-query path) — it doubles as the loud
+      empty-corpus guard and substitutes literals, saving an exchange;
     * per-term document frequencies are computed for the union of all
       query terms in the same pass and broadcast back onto the postings;
     * one ``groupBy (query, doc)`` with the same sorted-term sequential
@@ -158,9 +159,16 @@ def bm25_topk_batch(df: DataFrame, text_col: str, id_col: str,
     terms = qt.select("term").distinct()
     base = df.select(F.col(id_col).alias("id"),
                      tokens_sql_expr(text_col).alias("_t"))
-    corpus = (base.select(F.coalesce(F.size("_t"), F.lit(0))
-                          .cast("long").alias("dl"))
-              .agg(F.count("*").alias("_n"), F.avg("dl").alias("_avgdl")))
+    # ONE scalar collect for the whole batch (the single-query path pays
+    # this per query): N/avgdl become literals, and an empty corpus fails
+    # loudly here instead of silently returning an empty frame a
+    # decontamination caller would read as "no overlaps found"
+    stats = (base.select(F.coalesce(F.size("_t"), F.lit(0))
+                         .cast("long").alias("dl"))
+             .agg(F.count("*").alias("_n"), F.avg("dl").alias("_avgdl"))
+             .first())
+    if stats is None or not stats["_n"]:
+        raise ValueError("corpus is empty")
     # postings probe BEFORE the shuffle (broadcast semi-filter on the
     # scan, the batch analog of the single-query isin pushdown), with the
     # doc length carried inline so no separate lengths join is needed
@@ -181,7 +189,8 @@ def bm25_topk_batch(df: DataFrame, text_col: str, id_col: str,
     scored = (
         tf.withColumn("_df", F.count("*").over(Window.partitionBy("term")))
         .join(F.broadcast(qt), on="term")
-        .crossJoin(F.broadcast(corpus))
+        .withColumn("_n", F.lit(int(stats["_n"])).cast("long"))
+        .withColumn("_avgdl", F.lit(float(stats["_avgdl"])))
         .withColumn("_idf", F.log(
             F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5)
             / (F.col("_df") + 0.5)))

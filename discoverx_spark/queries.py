@@ -1044,6 +1044,29 @@ FROM (
 """
 
 
+def q_explorer_unpivot(spark, sf_dir):
+    """The reference's named unpivot surface (explorer.py:127-160
+    unpivot_string_columns) composed with the storage-format universe
+    filter (explorer.py:77-85 with_data_source_formats): the CSV-format
+    registration is excluded, the two parquet tables melt to
+    (column_name, string_value) with provenance — identical rows to the
+    {stack_string_columns} template spelling (explorer_stack_strings)."""
+    from .explorer import DataExplorer
+    from .scanner import TableRegistry
+
+    reg = TableRegistry()
+    reg.register("main.testdata.nation", _t(spark, sf_dir, "nation"))
+    reg.register("main.testdata.region", _t(spark, sf_dir, "region"))
+    # a non-parquet registration the format filter must drop
+    reg.register("main.testdata.customer", _t(spark, sf_dir, "customer"),
+                 data_source_format="CSV")
+    return (DataExplorer(registry=reg, spark=spark,
+                         from_tables="main.testdata.*")
+            .with_data_source_formats(["PARQUET"])
+            .unpivot_string_columns()
+            .apply())
+
+
 def q_explorer_having_columns(spark, sf_dir):
     """Column-existence universe restriction (reference explorer.py:67-75):
     tables having BOTH given columns survive; emitted as rows."""
@@ -1246,6 +1269,7 @@ WHERE rank <= {_BM25_K}
 
 # Corpus-wide duplicate-span dedup (operators/dedup.py:span_dedup)
 _SPAN_W = 8
+_SPAN_MINLEN = 12
 
 
 def q_span_dedup_documents(spark, sf_dir):
@@ -1270,6 +1294,69 @@ def q_span_dedup_xxhash_sf(spark, sf_dir):
     from .operators.dedup import span_dedup
     docs = _t(spark, sf_dir, "documents")
     return span_dedup(docs, "text", "doc_id", window=_SPAN_W)
+
+
+def q_span_dedup_minlen_documents(spark, sf_dir):
+    """Maximal-span variant (Lee et al.'s ≥L-token substrings, L=12
+    here for the small corpus): positions removed only inside runs of
+    ≥ L-w+1 consecutive duplicated windows, so isolated duplicated
+    8-grams (common idioms) survive."""
+    from .operators.dedup import span_dedup
+    docs = _t(spark, sf_dir, "documents")
+    out = span_dedup(docs, "text", "doc_id", window=_SPAN_W,
+                     hash_mode="gram", min_span_tokens=_SPAN_MINLEN)
+    return out.select(F.col("id").alias("doc_id"), "clean_text",
+                      F.col("n_tokens").cast("int").alias("n_tokens"),
+                      F.col("n_removed").cast("int").alias("n_removed"))
+
+
+def _sql_span_dedup_minlen() -> str:
+    w = _SPAN_W
+    min_run = _SPAN_MINLEN - _SPAN_W + 1
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '(\S+)', 1) AS tl,
+         regexp_extract_all(text, '(\S+)', 1) AS torig
+  FROM documents),
+occs AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(tl, i, i + {w - 1}), ' ') AS k
+  FROM (SELECT doc_id, tl, unnest(range(1, len(tl) - {w} + 2)) AS i
+        FROM toks)),
+ranked AS (
+  SELECT doc_id, pos, k,
+         row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY k) AS cnt
+  FROM occs),
+runs AS (
+  SELECT doc_id, min(pos) AS s, count(*) AS m
+  FROM (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS grp
+        FROM ranked WHERE cnt > 1 AND rn > 1)
+  GROUP BY doc_id, grp
+  HAVING count(*) >= {min_run}),
+cov AS (
+  SELECT doc_id, list(DISTINCT p) AS rm
+  FROM (SELECT doc_id, unnest(range(s, s + m + {w} - 1)) AS p FROM runs)
+  GROUP BY doc_id),
+rebuilt AS (
+  SELECT toks.doc_id, toks.torig, toks.tl,
+         list_filter(range(0, len(toks.tl)),
+                     j -> NOT list_contains(
+                            coalesce(cov.rm, CAST([] AS BIGINT[])), j))
+           AS kept
+  FROM toks LEFT JOIN cov USING (doc_id))
+SELECT doc_id,
+       CASE WHEN tl IS NULL THEN NULL
+            ELSE coalesce(array_to_string(
+                   list_transform(kept, j -> torig[j + 1]), ' '), '')
+       END AS clean_text,
+       CAST(coalesce(len(tl), 0) AS INTEGER) AS n_tokens,
+       CAST(coalesce(len(tl) - len(kept), 0) AS INTEGER) AS n_removed
+FROM rebuilt
+"""
 
 
 def _sql_span_dedup() -> str:
@@ -1460,12 +1547,12 @@ def q_stupid_backoff_documents(spark, sf_dir):
     mean folds in position order)."""
     from .functions.ngram_lm import stupid_backoff_score, word_ngram_counts
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    # materialize the model once (production persists it as parquet and
-    # scans it back; without this the scorer's five join branches each
-    # re-run the training aggregation)
+    # the scorer localCheckpoints the model internally (self-sufficient:
+    # its six join branches scan one materialized RDD instead of each
+    # re-running the training aggregation); production would persist the
+    # counts as parquet and scan them back
     counts = word_ngram_counts(docs, "text", order=3,
-                               min_count=_SB_MIN_COUNT) \
-        .localCheckpoint(eager=True)
+                               min_count=_SB_MIN_COUNT)
     out = stupid_backoff_score(docs, "text", "doc_id", counts)
     return out.select(F.col("id").alias("doc_id"),
                       F.round("sb_ppl", 6).alias("sb_ppl"),
@@ -1555,17 +1642,18 @@ def q_dsir_resample_documents(spark, sf_dir):
                       F.col("rank").cast("int").alias("rank"))
 
 
-def _sql_dsir_grams(table: str = "documents") -> str:
-    """(doc_id, bucket) exploded hashed n-gram features — DuckDB
-    rendering of ngram_bucket_features_expr (md5 family)."""
+def _sql_dsir_grams(table: str = "documents",
+                    id_col: str = "doc_id") -> str:
+    """(id, bucket) exploded hashed n-gram features — DuckDB rendering
+    of ngram_bucket_features_expr (md5 family)."""
     return rf"""
-  SELECT doc_id, ('0x'||substr(md5(g), 1, 8))::BIGINT % {_DSIR_BUCKETS}
+  SELECT {id_col}, ('0x'||substr(md5(g), 1, 8))::BIGINT % {_DSIR_BUCKETS}
            AS bucket
   FROM (
-    SELECT doc_id, unnest(list_concat(
+    SELECT {id_col}, unnest(list_concat(
              t, list_transform(range(1, greatest(len(t), 1)),
                                i -> t[i] || ' ' || t[i+1]))) AS g
-    FROM (SELECT doc_id, regexp_extract_all(lower(text), '(\S+)', 1) AS t
+    FROM (SELECT {id_col}, regexp_extract_all(lower(text), '(\S+)', 1) AS t
           FROM {table}))
 """
 
@@ -2131,6 +2219,175 @@ cum AS (
 SELECT lang, id, n_tokens, start_offset,
        CAST(floor(start_offset / 512.0) AS BIGINT) AS bin_id
 FROM cum
+"""
+
+
+_V2_K = 10
+# conversation-level texts are long averaged bags, so the classifier's
+# probabilities concentrate near sigmoid(bias): 0.48 is the median split
+# on the generated corpus (0.5 would keep ~1 of 79 — a vacuous gate)
+_V2_QUALITY_THR = 0.48
+
+
+def q_curation_pipeline_v2(spark, sf_dir):
+    """Transcript-native curation composition (the north-rule payload):
+    conversation gates (toxicity/PII/turn-count/role-alternation) →
+    flatten each surviving conversation to one text (turn order
+    preserved) → broadcast-join quality classifier keeps prob ≥ 0.5 →
+    DSIR Gumbel-top-k importance selection against a target slice.
+    Certifies the round-4 operators IN COMPOSITION under one SQL
+    oracle, not just standalone."""
+    from .functions.text import quality_classifier_join
+    from .operators.convagg import conversation_gates
+    from .operators.dsir import dsir_resample
+    from .transcripts import generate_transcripts
+
+    turns = generate_transcripts(spark, _CG_CONVS, seed=42)
+    gates = conversation_gates(turns)
+    # stage boundaries get a lazy lineage cut: `kept` feeds two branches
+    # and `survivors` feeds THREE (DSIR raw corpus, DSIR target, score
+    # join-back) — without the cut each reference re-expands the whole
+    # gates → flatten → classifier pipeline into the plan (89 exchanges
+    # measured; ~16 with the cuts).  Production would persist each stage
+    # to a table here anyway — this is the same seam, in-memory.
+    kept = gates.filter("keep_conversation").select("conv_id", "n_turns") \
+        .localCheckpoint(eager=False)
+    conv_text = (
+        turns.join(F.broadcast(kept.select("conv_id")), "conv_id")
+        .groupBy("conv_id")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda s: s["text"]), " ").alias("text")))
+    quality = quality_classifier_join(conv_text, "conv_id")
+    # filter on the ROUNDED probability — the oracle rounds before the
+    # threshold, and an unrounded filter would disagree at the boundary
+    survivors = (quality
+                 .withColumn("quality_prob",
+                             F.round("quality_prob", 6))
+                 .filter(F.col("quality_prob") >= _V2_QUALITY_THR)
+                 .localCheckpoint(eager=False))
+    target = survivors.filter(
+        F.regexp_extract("conv_id", r"(\d+)$", 1).cast("long") % 10 == 3)
+    picked = dsir_resample(survivors, target, "text", "conv_id", k=_V2_K,
+                           buckets=_DSIR_BUCKETS, alpha=_DSIR_ALPHA,
+                           hash_mode="md5")
+    return (picked
+            .join(F.broadcast(survivors.select(
+                F.col("conv_id").alias("id"), "quality_prob")), "id")
+            .join(F.broadcast(kept.select(
+                F.col("conv_id").alias("id"), "n_turns")), "id")
+            .select(F.col("id").alias("conv_id"),
+                    F.col("n_turns").cast("int").alias("n_turns"),
+                    "quality_prob", "log_weight", "score",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def _sql_curation_pipeline_v2() -> str:
+    from .functions.text import (QUALITY_CLF_BIAS, QUALITY_CLF_WEIGHTS,
+                                 TOXIC_KEYWORDS)
+    from .scrub import scrub_sql_exprs
+    from .transcripts import generate_transcripts_pandas
+
+    pdf = generate_transcripts_pandas(_CG_CONVS, seed=42)
+    rows = ",\n".join(
+        f"({_sql_lit(c)}, {_sql_lit(int(i))}, {_sql_lit(r)}, {_sql_lit(t)})"
+        for c, i, r, t in zip(pdf["conv_id"], pdf["turn_idx"],
+                              pdf["role"], pdf["text"]))
+    tox = (r"(\b(?:"
+           + "|".join(k.replace(" ", r"\s+") for k in TOXIC_KEYWORDS)
+           + r")\b)").replace("'", "''")
+    scrub = scrub_sql_exprs("text")
+    lagr = "lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)"
+    wvals = ", ".join(
+        "('{}', {!r})".format(k.replace("'", "''"),
+                              float(QUALITY_CLF_WEIGHTS[k]))
+        for k in sorted(QUALITY_CLF_WEIGHTS))
+    ab = _DSIR_ALPHA * _DSIR_BUCKETS
+    return rf"""
+WITH t AS (SELECT * FROM (VALUES
+{rows}
+) AS v(conv_id, turn_idx, role, text)),
+per AS (
+  SELECT conv_id,
+         COALESCE(CAST(len(regexp_extract_all(lower(text), '{tox}', 1)) > 0
+                       AS BIGINT), 0) AS is_toxic,
+         COALESCE(CAST({scrub} <> text AS BIGINT), 0) AS has_pii,
+         CAST({lagr} IS NOT NULL AND {lagr} = role AS BIGINT) AS is_viol
+  FROM t),
+gates AS (
+  SELECT conv_id, COUNT(*) AS n_turns,
+         CAST(SUM(is_toxic) AS DOUBLE) / COUNT(*) AS toxic_frac,
+         CAST(SUM(has_pii) AS DOUBLE) / COUNT(*) AS pii_frac,
+         CAST(SUM(is_viol) AS BIGINT) AS n_viol
+  FROM per GROUP BY conv_id),
+kept AS (
+  SELECT conv_id, n_turns FROM gates
+  WHERE n_turns >= 2 AND n_turns <= 512 AND toxic_frac <= 0.25
+    AND pii_frac <= 0.5 AND n_viol <= 0),
+conv AS (
+  SELECT t.conv_id, string_agg(t.text, ' ' ORDER BY t.turn_idx) AS text
+  FROM t JOIN kept USING (conv_id) GROUP BY t.conv_id),
+w(token, weight) AS (VALUES {wvals}),
+toks AS (
+  SELECT conv_id, regexp_extract_all(lower(text), '(\S+)', 1) AS tk
+  FROM conv),
+cnt AS (
+  SELECT conv_id, token, count(*) AS c FROM
+    (SELECT conv_id, unnest(tk) AS token FROM toks)
+  GROUP BY conv_id, token),
+contrib AS (
+  SELECT cnt.conv_id,
+         list_reduce(list_prepend(0.0, list(cnt.c * w.weight
+                                            ORDER BY cnt.token)),
+                     (a, x) -> a + x) AS total
+  FROM cnt JOIN w USING (token) GROUP BY cnt.conv_id),
+surv AS (
+  SELECT conv.conv_id, conv.text, p.quality_prob
+  FROM conv JOIN (
+    SELECT toks.conv_id,
+           round(1.0 / (1.0 + exp(-({float(QUALITY_CLF_BIAS)!r}
+                 + coalesce(contrib.total, 0.0)
+                   / greatest(len(toks.tk), 1)))), 6) AS quality_prob
+    FROM toks LEFT JOIN contrib USING (conv_id)) p
+    USING (conv_id)
+  WHERE p.quality_prob >= {_V2_QUALITY_THR!r}),
+grams AS ({_sql_dsir_grams("surv", "conv_id")}),
+hist_r AS (SELECT bucket, count(*) AS cr FROM grams GROUP BY bucket),
+hist_t AS (SELECT bucket, count(*) AS ct FROM grams
+           WHERE CAST(regexp_extract(conv_id, '(\d+)$', 1) AS BIGINT)
+                 % 10 = 3
+           GROUP BY bucket),
+tot AS (SELECT (SELECT sum(cr) FROM hist_r) AS tr,
+               (SELECT coalesce(sum(ct), 0) FROM hist_t) AS tt),
+ratio AS (
+  SELECT hist_r.bucket,
+         ln(coalesce(hist_t.ct, 0) + {_DSIR_ALPHA}) - ln(tot.tt + {ab})
+         - ln(hist_r.cr + {_DSIR_ALPHA}) + ln(tot.tr + {ab}) AS lr
+  FROM hist_r LEFT JOIN hist_t USING (bucket) CROSS JOIN tot),
+doc_buckets AS (
+  SELECT conv_id, bucket, count(*) AS cb FROM grams
+  GROUP BY conv_id, bucket),
+folded AS (
+  SELECT conv_id,
+         list_reduce(list_prepend(0.0, list(cb * lr ORDER BY bucket)),
+                     (a, x) -> a + x) AS lwv
+  FROM doc_buckets JOIN ratio USING (bucket) GROUP BY conv_id),
+scored AS (
+  SELECT s.conv_id, s.quality_prob,
+         round(coalesce(folded.lwv, 0.0), 6) AS log_weight,
+         round(coalesce(folded.lwv, 0.0) + (
+           -ln(-ln(((('0x'||substr(md5(s.conv_id||'#dsir'), 1, 8))::BIGINT)
+                    + 0.5) / {float(2 ** 32)!r}))
+         ), 6) AS score
+  FROM surv s LEFT JOIN folded USING (conv_id))
+SELECT conv_id, CAST(n_turns AS INTEGER) AS n_turns, quality_prob,
+       log_weight, score, CAST(rank AS INTEGER) AS rank
+FROM (SELECT conv_id, quality_prob, log_weight, score,
+             row_number() OVER (ORDER BY score DESC, conv_id ASC) AS rank
+      FROM scored)
+JOIN kept USING (conv_id)
+WHERE rank <= {_V2_K}
 """
 
 
@@ -3071,6 +3328,62 @@ FROM agg
 """
 
 
+def q_tool_call_stats(spark, sf_dir):
+    """Agent-transcript tool-usage profile + runaway-loop gate over the
+    north-rule input's ``tool`` column: tool-call count/fraction,
+    distinct tools, and the longest consecutive same-tool run among a
+    conversation's tool turns (interleaved assistant turns don't break
+    a loop); the gate drops tool-fraction and loop outliers."""
+    from .operators.convagg import tool_call_stats
+    from .transcripts import generate_transcripts
+    turns = generate_transcripts(spark, _CG_CONVS, seed=42)
+    return tool_call_stats(turns)
+
+
+def _sql_tool_call_stats() -> str:
+    from .transcripts import generate_transcripts_pandas
+
+    pdf = generate_transcripts_pandas(_CG_CONVS, seed=42)
+    rows = ",\n".join(
+        f"({_sql_lit(c)}, {_sql_lit(int(i))}, {_sql_lit(r)}, {_sql_lit(t)})"
+        for c, i, r, t in zip(pdf["conv_id"], pdf["turn_idx"],
+                              pdf["role"], pdf["tool"]))
+    return f"""
+WITH t AS (SELECT * FROM (VALUES
+{rows}
+) AS v(conv_id, turn_idx, role, tool)),
+stats AS (
+  SELECT conv_id, COUNT(*) AS n_turns,
+         CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tool_calls,
+         CAST(COUNT(DISTINCT CASE WHEN role = 'tool' THEN tool END)
+              AS BIGINT) AS n_distinct_tools
+  FROM t GROUP BY conv_id),
+runs AS (
+  SELECT conv_id, rid, COUNT(*) AS run
+  FROM (SELECT conv_id,
+               SUM(nr) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS rid
+        FROM (SELECT conv_id, turn_idx,
+                     CASE WHEN lag(tool) OVER (PARTITION BY conv_id
+                                               ORDER BY turn_idx)
+                          IS DISTINCT FROM tool THEN 1 ELSE 0 END AS nr
+              FROM t WHERE role = 'tool'))
+  GROUP BY conv_id, rid),
+mx AS (SELECT conv_id, CAST(max(run) AS INTEGER) AS max_tool_run
+       FROM runs GROUP BY conv_id),
+frac AS (
+  SELECT s.conv_id, s.n_turns, s.n_tool_calls, s.n_distinct_tools,
+         coalesce(mx.max_tool_run, 0) AS max_tool_run,
+         round(s.n_tool_calls / CAST(s.n_turns AS DOUBLE), 6) AS tool_frac
+  FROM stats s LEFT JOIN mx USING (conv_id))
+SELECT conv_id, n_turns, n_tool_calls, n_distinct_tools, max_tool_run,
+       tool_frac,
+       (tool_frac <= 0.8 AND max_tool_run <= 8) AS keep_tool_gate
+FROM frac
+"""
+
+
 def q_quality_scores_documents(spark, sf_dir):
     """Full quality-ratio profile per document (alpha/digit/punct ratios,
     whitespace-only flag) — the remaining functions/text.py ratio family
@@ -3358,10 +3671,13 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
                                 SQL_DOMAIN_CAPPED),
     "curation_pipeline_documents": (q_curation_pipeline_documents,
                                     _sql_curation_pipeline()),
+    "curation_pipeline_v2": (q_curation_pipeline_v2,
+                             _sql_curation_pipeline_v2()),
     "char_bigram_counts": (q_char_bigram_counts, SQL_CHAR_BIGRAMS),
     "csv_roundtrip_source": (q_csv_roundtrip_source, SQL_CSV_ROUNDTRIP),
     "explorer_stack_strings": (q_explorer_stack_strings,
                                SQL_EXPLORER_STACK),
+    "explorer_unpivot": (q_explorer_unpivot, SQL_EXPLORER_STACK),
     "merge_upsert_roundtrip": (q_merge_upsert_roundtrip,
                                SQL_MERGE_ROUNDTRIP),
     "msql_compile_units": (q_msql_compile_units, SQL_MSQL_COMPILE),
@@ -3378,6 +3694,8 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "bm25_topk_batch_documents": (q_bm25_topk_batch_documents,
                                   _sql_bm25_topk_batch()),
     "span_dedup_documents": (q_span_dedup_documents, _sql_span_dedup()),
+    "span_dedup_minlen_documents": (q_span_dedup_minlen_documents,
+                                    _sql_span_dedup_minlen()),
     "bpe_pair_counts_documents": (q_bpe_pair_counts_documents,
                                   _sql_bpe_pair_counts()),
     "bpe_train_merges": (q_bpe_train_merges, _sql_bpe_train_merges()),
@@ -3410,6 +3728,7 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
                                    SQL_LENGTH_QUANTILES),
     "conversation_gates": (q_conversation_gates,
                            _sql_conversation_gates()),
+    "tool_call_stats": (q_tool_call_stats, _sql_tool_call_stats()),
     "mixing_rates_documents": (q_mixing_rates_documents,
                                _sql_mixing_rates()),
     "incremental_exact_dedup": (q_incremental_exact_dedup,
@@ -3467,6 +3786,10 @@ _NEVER_CERTIFIED = [
     "pack_sequences_documents",
     "curation_pipeline_documents",
     "bpe_pair_counts_documents",
+    "explorer_unpivot",
+    "span_dedup_minlen_documents",
+    "curation_pipeline_v2",
+    "tool_call_stats",
 ]
 
 

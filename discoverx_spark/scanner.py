@@ -42,7 +42,7 @@ def qcol(df: DataFrame, name: str):
     return df["`" + name.replace("`", "``") + "`"]
 
 
-def _read_parquet_if_exists(spark: SparkSession, path: str):
+def _read_parquet_if_exists(spark: SparkSession, path: str, **options):
     """Read parquet, or None ONLY when the path does not exist.  Any other
     read failure (corrupt footer, permission, transient FS error) propagates
     — treating it as "first write" would silently overwrite and discard all
@@ -50,7 +50,7 @@ def _read_parquet_if_exists(spark: SparkSession, path: str):
     from pyspark.errors import AnalysisException
 
     try:
-        df = spark.read.parquet(path)
+        df = spark.read.options(**options).parquet(path)
         df.schema  # force analysis so a missing path surfaces here
         return df
     except AnalysisException as e:
@@ -194,11 +194,13 @@ class TableRegistry:
         self._column_tags: Dict[str, Dict[str, Dict[str, str]]] = {}
         self._catalog_tags: Dict[str, Dict[str, str]] = {}
         self._schema_tags: Dict[str, Dict[str, str]] = {}
+        self._formats: Dict[str, str] = {}
 
     def register(self, full_name: str,
                  df_or_supplier: Union[DataFrame, Callable[[], DataFrame]],
                  tags: Optional[Dict[str, str]] = None,
-                 column_tags: Optional[Dict[str, Dict[str, str]]] = None) -> None:
+                 column_tags: Optional[Dict[str, Dict[str, str]]] = None,
+                 data_source_format: str = "PARQUET") -> None:
         if full_name.count(".") != 2:
             raise ValueError(f"expected catalog.schema.table, got {full_name!r}")
         if isinstance(df_or_supplier, DataFrame):
@@ -210,6 +212,13 @@ class TableRegistry:
         if column_tags:
             self._column_tags[full_name] = {c: dict(t)
                                             for c, t in column_tags.items()}
+        self._formats[full_name] = data_source_format.upper()
+
+    def data_source_format(self, full_name: str) -> str:
+        """The table's storage format (reference information_schema
+        ``data_source_format``, table_info.py / explorer.py:77-85);
+        'ICEBERG' in production, 'PARQUET' for the sandbox emulation."""
+        return self._formats.get(full_name, "PARQUET")
 
     def tag_catalog(self, catalog: str, tags: Dict[str, str]) -> None:
         """Attach catalog-level governance tags (reference TagsInfo carries

@@ -104,13 +104,12 @@ class ParquetTableFormat(TableFormat):
         # other read error must propagate: swallowing it would restart
         # snapshot ids at 1 and break the monotonic-id contract pinned
         # resume depends on (same policy as lineage()/merge_upsert)
-        from pyspark.errors import AnalysisException
+        from ..scanner import _read_parquet_if_exists
 
-        path = self._log_path(location)
-        try:
-            return spark.read.parquet(path)
-        except AnalysisException:
+        log = _read_parquet_if_exists(spark, self._log_path(location))
+        if log is None:
             return spark.createDataFrame([], _SNAPSHOT_SCHEMA)
+        return log
 
     # -- data ---------------------------------------------------------------
     def read(self, spark: SparkSession, location: str) -> DataFrame:

@@ -161,6 +161,49 @@ def test_explorer_stack_template(dx):
     assert ("ip", "1.2.3.4") in vals and ("mac", "00-B0-D0-63-C2-24") in vals
 
 
+def test_explorer_unpivot_string_columns(dx):
+    """Named spelling of the stack template (reference
+    explorer.py:127-143): same rows as the {stack_string_columns} form,
+    and sample_size bounds rows per table via TABLESAMPLE."""
+    out = dx.from_tables("main.default.tb_1").unpivot_string_columns().apply()
+    vals = {(r["column_name"], r["string_value"]) for r in out.collect()}
+    assert ("ip", "1.2.3.4") in vals and ("mac", "00-B0-D0-63-C2-24") in vals
+
+    sampled = (dx.from_tables("main.default.tb_1")
+               .unpivot_string_columns(sample_size=1).apply())
+    # 1 sampled row × n string columns of tb_1
+    src = dx.registry.get("main.default.tb_1")
+    n_str = sum(1 for f in src.schema.fields
+                if f.dataType.simpleString() == "string")
+    assert sampled.count() == n_str
+
+
+def test_explorer_unpivot_all_columns(dx):
+    """All-column melt casts non-strings to string
+    (reference explorer.py:145-160)."""
+    out = dx.from_tables("main.default.tb_2").unpivot_all_columns().apply()
+    cols = {r["column_name"] for r in out.collect()}
+    # every column of tb_2 appears, including non-string ones
+    src_cols = set(dx.registry.get("main.default.tb_2").columns)
+    assert cols == src_cols
+
+
+def test_explorer_data_source_format_filter(spark):
+    from discoverx_spark.dx import DX
+    d = DX(spark)
+    d.registry.register("c.s.pq", spark.createDataFrame(
+        [(1, "a")], "id int, v string"))
+    d.registry.register("c.s.csvt", spark.createDataFrame(
+        [(1, "b")], "id int, v string"), data_source_format="CSV")
+    ex = d.from_tables("c.s.*")
+    assert sorted(ex.table_names()) == ["c.s.csvt", "c.s.pq"]
+    assert ex.with_data_source_formats(["PARQUET"]).table_names() == \
+        ["c.s.pq"]
+    assert ex.with_data_source_formats(["CSV"]).table_names() == ["c.s.csvt"]
+    # default: production formats (ICEBERG) + the sandbox emulation
+    assert ex.with_data_source_formats().table_names() == ["c.s.pq"]
+
+
 def test_explorer_explain(dx, capsys):
     sqls = (dx.from_tables("main.default.tb_2")
             .with_sql("SELECT COUNT(*) AS n FROM {full_table_name}").explain())

@@ -118,3 +118,25 @@ def test_broadcast_model_caches_per_session(spark, tmp_path):
     b2 = broadcast_model(spark, "test_cache_key", loader)
     assert b1 is b2 and len(calls) == 1
     assert b1.value == {"k": 1}
+
+
+def test_broadcast_model_evicts_stopped_sessions(spark):
+    from discoverx_spark.functions import models as m
+
+    # simulate a handle left behind by a stopped session (only one
+    # SparkContext can be active per process, so any foreign appId is
+    # necessarily dead) — the next call must evict it, not accumulate
+    m._BROADCASTS[("app-from-stopped-session", "old_key")] = object()
+    b = broadcast_model(spark, "evict_probe_key", lambda: {"v": 2})
+    assert ("app-from-stopped-session", "old_key") not in m._BROADCASTS
+    assert b.value == {"v": 2}
+
+
+def test_content_key_is_digest_not_hash():
+    from discoverx_spark.functions.models import content_key
+
+    k1 = content_key("m", b"payload-a")
+    k2 = content_key("m", b"payload-b")
+    assert k1 != k2 and k1.startswith("m_") and len(k1) > 40
+    # deterministic across processes (unlike salted hash())
+    assert k1 == content_key("m", b"payload-a")

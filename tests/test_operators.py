@@ -712,5 +712,204 @@ def test_bpe_udf_rejects_non_monotone_tables(spark):
         make_bpe_segment_udf([("bc", "d"), ("a", "b"), ("b", "c")])
     with pytest.raises(ValueError, match="duplicate merge pair"):
         make_bpe_segment_udf([("a", "b"), ("a", "b")])
+    # two DISTINCT pairs with the same product: ('a','bc') then ('ab','c')
+    # both yield 'abc' — operand check passes, but a later-rank merge can
+    # recreate a pair an earlier rank still wants, so rank-priority
+    # diverges from rank-order.  Must be rejected too (ADVICE r4).
+    with pytest.raises(ValueError, match="re-produces"):
+        make_bpe_segment_udf([("b", "c"), ("a", "bc"), ("a", "b"),
+                              ("ab", "c")])
     # monotone multi-char chain is fine
     make_bpe_segment_udf([("a", "b"), ("ab", "c")])
+
+
+def test_tool_call_stats_loop_detection(spark):
+    """Runaway-loop gate: consecutive same-tool runs counted among tool
+    turns only (assistant turns between calls don't break a loop); the
+    gate drops loopers and tool-heavy conversations."""
+    from datetime import datetime
+
+    from discoverx_spark.operators.convagg import tool_call_stats
+
+    ts = datetime(2026, 1, 1)
+    rows = []
+    # conv a: search ×3 (interleaved assistant turns), then fetch — run 3
+    for i, (role, tool) in enumerate([
+            ("user", None), ("tool", "search"), ("assistant", None),
+            ("tool", "search"), ("assistant", None), ("tool", "search"),
+            ("tool", "fetch"), ("assistant", None)]):
+        rows.append(("a", i, role, "t", tool, ts))
+    # conv b: no tool turns at all
+    rows += [("b", 0, "user", "hi", None, ts),
+             ("b", 1, "assistant", "yo", None, ts)]
+    # conv c: 9 straight same-tool calls + 1 user turn -> loop AND 0.9 frac
+    rows += [("c", 0, "user", "go", None, ts)]
+    rows += [("c", i, "tool", "x", "exec", ts) for i in range(1, 10)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+
+    got = {r["conv_id"]: r.asDict() for r in tool_call_stats(df).collect()}
+    a = got["a"]
+    assert (a["n_tool_calls"], a["n_distinct_tools"],
+            a["max_tool_run"]) == (4, 2, 3)
+    assert a["keep_tool_gate"]
+    b = got["b"]
+    assert (b["n_tool_calls"], b["n_distinct_tools"],
+            b["max_tool_run"]) == (0, 0, 0)
+    assert b["keep_tool_gate"]
+    c = got["c"]
+    assert c["max_tool_run"] == 9 and c["tool_frac"] == 0.9
+    assert not c["keep_tool_gate"]
+
+
+def test_bpe_train_batches_scans_and_stays_exact(spark):
+    """Rank-batched training: on a Zipf-shaped corpus 256 merges must
+    need ≤ 40 statistics scans (vs 256 for the classic loop) while
+    returning the EXACT classic merge sequence — checked against
+    batch_size=1, which is the one-argmax-per-scan algorithm."""
+    from discoverx_spark.operators.bpe import bpe_train
+
+    # 256 words, each two unique CJK chars repeated ("xyxy"), strictly
+    # decreasing frequencies: first-layer pairs (x_i, y_i) count 2·f_i
+    # all outrank every tail pair (count f_i ≤ f_0 < 2·f_255), are
+    # pairwise disjoint, and have no count ties — the batchable shape
+    # real Zipfian corpora approximate
+    rows = []
+    for i in range(256):
+        x, y = chr(0x4E00 + 2 * i), chr(0x4E00 + 2 * i + 1)
+        rows.append((i, " ".join([x + y + x + y] * (4000 - i))))
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(8)
+
+    stats = {}
+    merges = bpe_train(df, "text", num_merges=256, batch_size=16,
+                       stats=stats)
+    assert len(merges) == 256
+    assert stats["scans"] <= 40, stats
+    # exactness vs the unbatched algorithm on a small prefix (running
+    # batch_size=1 for all 256 would be the slow path this replaces)
+    stats1 = {}
+    merges1 = bpe_train(df.limit(40), "text", num_merges=24, batch_size=1,
+                        stats=stats1)
+    merges_b = bpe_train(df.limit(40), "text", num_merges=24, batch_size=8)
+    assert merges_b == merges1
+    assert stats1["scans"] == 24
+
+
+def test_bpe_batch_exactness_on_interacting_pairs(spark):
+    """Adversarial corpora where batching MUST degrade: ties, chained
+    pairs, and created-pair promotion ("x a b"×100 + "p q"×90 — after
+    merging (a,b), the CREATED pair (x,ab):100 outranks (p,q):90, so
+    (p,q) must not ride in the same batch).  batch_size>1 must equal
+    batch_size=1 everywhere."""
+    from discoverx_spark.operators.bpe import bpe_train
+
+    corpora = [
+        # created-pair promotion
+        [(1, " ".join(["xab"] * 100) + " " + " ".join(["pq"] * 90))],
+        # chained overlaps ("abc": (a,b),(b,c) interact)
+        [(1, " ".join(["abc"] * 50) + " " + " ".join(["bcd"] * 49))],
+        # exact ties everywhere
+        [(1, " ".join(["ab"] * 30) + " " + " ".join(["cd"] * 30))],
+    ]
+    for rows in corpora:
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        ref = bpe_train(df, "text", num_merges=8, batch_size=1)
+        got = bpe_train(df, "text", num_merges=8, batch_size=6)
+        assert got == ref, rows[0][1][:40]
+
+
+def test_span_dedup_min_span_tokens(spark):
+    """Maximal-span guard: isolated duplicated windows survive; only
+    runs of consecutive duplicated windows covering >= min_span tokens
+    are removed.  Edges: run exactly at threshold, run one short,
+    adjacent runs separated by a small gap, min_span == window
+    (degenerates to plain behavior), invalid min_span."""
+    import pytest
+
+    from discoverx_spark.operators.dedup import span_dedup
+
+    # 12 shared tokens "c1..c12" => 9 consecutive dup 4-gram windows in
+    # doc 2 (run m=9, span 12); doc 3 shares only 4 tokens (m=1, span 4)
+    shared12 = " ".join(f"c{i}" for i in range(12))
+    shared4 = " ".join(f"c{i}" for i in range(4))
+    df = spark.createDataFrame([
+        (1, shared12 + " tail1 tail2"),
+        (2, "pre " + shared12 + " post"),
+        (3, "aa bb " + shared4 + " cc dd"),
+    ], "doc_id long, text string")
+
+    # min_span=12: doc 2 loses exactly the 12 shared tokens; doc 3's
+    # isolated window (span 4 < 12) survives intact
+    got = {r["id"]: (r["clean_text"], r["n_removed"])
+           for r in span_dedup(df, "text", "doc_id", window=4,
+                               hash_mode="gram",
+                               min_span_tokens=12).collect()}
+    assert got[1][1] == 0
+    assert got[2] == ("pre post", 12)
+    assert got[3][1] == 0 and "c0" in got[3][0]
+
+    # min_span=13: doc 2's 12-token run is one short — nothing removed
+    got13 = {r["id"]: r["n_removed"]
+             for r in span_dedup(df, "text", "doc_id", window=4,
+                                 hash_mode="gram",
+                                 min_span_tokens=13).collect()}
+    assert got13 == {1: 0, 2: 0, 3: 0}
+
+    # min_span == window degenerates to the plain (every-window) rule
+    plain = {r["id"]: r["clean_text"]
+             for r in span_dedup(df, "text", "doc_id", window=4,
+                                 hash_mode="gram").collect()}
+    degen = {r["id"]: r["clean_text"]
+             for r in span_dedup(df, "text", "doc_id", window=4,
+                                 hash_mode="gram",
+                                 min_span_tokens=4).collect()}
+    assert degen == plain
+
+    with pytest.raises(ValueError, match="min_span_tokens"):
+        span_dedup(df, "text", "doc_id", window=8, min_span_tokens=4)
+
+    # overlapping qualifying runs (gap < window) must not crash the
+    # map rebuild (duplicate covered positions are distinct-ed)
+    s1 = " ".join(f"d{i}" for i in range(8))
+    s2 = " ".join(f"e{i}" for i in range(8))
+    df2 = spark.createDataFrame([
+        (1, s1 + " " + s2),
+        (2, s1 + " gap " + s2 + " x " + s1 + " y " + s2),
+    ], "doc_id long, text string")
+    out2 = {r["id"]: r["n_removed"]
+            for r in span_dedup(df2, "text", "doc_id", window=4,
+                                hash_mode="gram",
+                                min_span_tokens=8).collect()}
+    assert out2[1] == 0  # doc 1 is the first occurrence everywhere
+    assert out2[2] >= 16
+
+
+def test_span_dedup_rejects_narrow_hash_modes(spark):
+    """span_dedup destroys data on key equality: a single 32/64-bit hash
+    slice (md5 mode) collides at ~10^5 distinct grams — only the
+    oracle-replayable 'gram' and dual-seed 'xxhash64' families are
+    allowed (ADVICE r4)."""
+    import pytest
+
+    from discoverx_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="hash_mode"):
+        span_dedup(df, "text", "doc_id", hash_mode="md5")
+
+
+def test_bm25_batch_rejects_empty_corpus(spark):
+    """The batch path must fail as loudly as the single-query path on an
+    empty corpus — an empty result would read as 'no overlaps found' to a
+    decontamination caller (ADVICE r4)."""
+    import pytest
+
+    from discoverx_spark.operators.retrieval import bm25_topk_batch
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    qs = spark.createDataFrame([(1, "hello world")],
+                               "query_id long, query string")
+    with pytest.raises(ValueError, match="corpus is empty"):
+        bm25_topk_batch(empty, "text", "doc_id", qs)

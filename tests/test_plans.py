@@ -137,6 +137,28 @@ def test_pack_sequences_single_window_exchange(spark):
     assert plan.count("Window") == 1
 
 
+def test_stupid_backoff_trains_once(spark):
+    """The scorer's six model branches (c1×2, c2×2, c3, total) must scan
+    ONE materialized counts RDD, not re-run the training aggregation per
+    branch — the operator localCheckpoints internally, so even a caller
+    passing the raw word_ngram_counts plan trains once."""
+    from discoverx_spark.functions.ngram_lm import (stupid_backoff_score,
+                                                    word_ngram_counts)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text").limit(50)
+    counts = word_ngram_counts(docs, "text", order=3)  # NOT checkpointed
+    plan = stupid_backoff_score(docs, "text", "doc_id", counts) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the model branches read the checkpointed RDD ...
+    assert "ExistingRDD" in plan
+    # ... and the training explode+groupBy-per-order pipeline appears
+    # nowhere: the only aggregates left are the per-doc fold's
+    # partial+final pair (un-checkpointed, six branches × three orders
+    # would put dozens of HashAggregates here)
+    assert plan.count("HashAggregate") <= 4
+
+
 def test_registry_wide_plan_budgets(spark):
     """Every query in the registry must stay inside a shuffle budget and
     contain no CartesianProduct — a blanket guard against plan
@@ -180,6 +202,10 @@ def test_registry_wide_plan_budgets(spark):
         "incremental_exact_dedup": 12,
         # multi-stage compositions
         "curation_pipeline_documents": 8, "dedup_conversations": 8,
+        # gates window + conv-flatten groupBy + classifier (token groupBy,
+        # fold groupBy, restore join) + two DSIR histograms + doc-bucket
+        # groupBy + fold + top-k rank window + two broadcast joins back
+        "curation_pipeline_v2": 20,
         "user_sessions": 6, "transcripts_conversation_stats": 6,
         "conversation_stats_documents": 6,
     }

@@ -35,6 +35,21 @@ def test_roundtrip_and_snapshot_log(spark, fmt, tmp_path):
     assert ops == ["overwrite", "append"]
 
 
+def test_snapshots_propagates_corrupt_log_errors(spark, fmt, tmp_path):
+    # ONLY a missing log may read as "no snapshots yet".  A corrupt /
+    # unreadable log must raise: silently returning an empty log would
+    # restart snapshot ids at 1, breaking the monotonic-id contract that
+    # snapshot-pinned resume keys on (ADVICE r4, table_format.py).
+    loc = str(tmp_path / "t")
+    assert fmt.snapshots(spark, loc).count() == 0  # missing → empty, OK
+
+    log_dir = tmp_path / "t._snapshots"
+    log_dir.mkdir()
+    (log_dir / "part-00000.parquet").write_text("this is not parquet")
+    with pytest.raises(Exception):
+        fmt.snapshots(spark, loc).collect()
+
+
 def test_merge_contract_and_idempotency(spark, fmt, tmp_path):
     loc = str(tmp_path / "t")
     fmt.overwrite(spark.createDataFrame(
