@@ -286,6 +286,138 @@ def tokens_sql_expr(col) -> Column:
     return F.regexp_extract_all(F.lower(_c(col)), F.lit(r"(\S+)"), 1)
 
 
+# The 8 high-frequency English function words Gopher's "stop word"
+# presence rule counts (Rae et al. 2021, appendix A1.1 — a public
+# heuristic; ≥ 2 of these must appear for a page to survive).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df, id_col: str, text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_word_ratio: float = 0.1,
+                 max_bullet_line_frac: float = 0.9,
+                 max_ellipsis_line_frac: float = 0.3,
+                 min_alpha_word_frac: float = 0.8,
+                 min_stopwords: int = 2):
+    """The Gopher quality-filter rule set (Rae et al. 2021, appendix
+    A1.1) as ONE zero-shuffle projection: word-count range, mean word
+    length range, '#'/'…' symbol-to-word ratio, bullet-start and
+    ellipsis-end line fractions, alphabetic-word fraction, and stop-word
+    presence — plus the conjunctive ``keep_gopher`` verdict.
+
+    Plan shape: the token array is folded ONCE with a struct accumulator
+    (total length, alphabetic words, stop words) — never one fold per
+    signal, which would re-run the tokenizer per reference (the
+    Catalyst lambda-inlining lesson); line signals fold the split-lines
+    array the same way.  Returns
+    ``(id, n_words, mean_word_len, alpha_word_frac, stopword_count,
+    symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
+    keep_gopher)`` with fractions rounded to 6 digits."""
+    text = _c(text_col)
+    # NULL text folds as empty (all-zero signals, keep=false via the
+    # word-count floor) — never a NULL verdict
+    toks = F.coalesce(tokens_sql_expr(text_col),
+                      F.array().cast("array<string>"))
+    zero = F.struct(F.lit(0).cast("long").alias("len"),
+                    F.lit(0).cast("long").alias("alpha"),
+                    F.lit(0).cast("long").alias("stop"))
+
+    def tok_step(acc, x):
+        return F.struct(
+            (acc["len"] + F.length(x)).alias("len"),
+            (acc["alpha"] + x.rlike("[a-z]").cast("long")).alias("alpha"),
+            (acc["stop"] + x.isin(*GOPHER_STOPWORDS).cast("long"))
+            .alias("stop"))
+
+    tfold = F.aggregate(toks, zero, tok_step)
+    lines = F.coalesce(
+        F.filter(F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+                 lambda x: x != ""),
+        F.array().cast("array<string>"))
+    lzero = F.struct(F.lit(0).cast("long").alias("bullet"),
+                     F.lit(0).cast("long").alias("ellip"),
+                     F.lit(0).cast("long").alias("n"))
+
+    def line_step(acc, x):
+        bullet = (x.startswith("-") | x.startswith("*")
+                  | x.startswith("•")).cast("long")
+        ellip = (x.endswith("...") | x.endswith("…")).cast("long")
+        return F.struct((acc["bullet"] + bullet).alias("bullet"),
+                        (acc["ellip"] + ellip).alias("ellip"),
+                        (acc["n"] + 1).alias("n"))
+
+    lfold = F.aggregate(lines, lzero, line_step)
+    n_symbols = F.size(F.regexp_extract_all(text, F.lit(r"(#|\.\.\.|…)"), 1))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("n_words"),
+        tfold.alias("_t"), lfold.alias("_l"),
+        F.coalesce(n_symbols, F.lit(0)).cast("long").alias("_sym"))
+    nw = F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+    nl = F.greatest(F.col("_l.n"), F.lit(1)).cast("double")
+    sig = base.select(
+        "id", "n_words",
+        F.round(F.col("_t.len") / nw, 6).alias("mean_word_len"),
+        F.round(F.col("_t.alpha") / nw, 6).alias("alpha_word_frac"),
+        F.col("_t.stop").alias("stopword_count"),
+        F.round(F.col("_sym") / nw, 6).alias("symbol_word_ratio"),
+        F.round(F.col("_l.bullet") / nl, 6).alias("bullet_line_frac"),
+        F.round(F.col("_l.ellip") / nl, 6).alias("ellipsis_line_frac"))
+    keep = ((F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+            & (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+            & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+            & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+            & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+            & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+            & (F.col("stopword_count") >= min_stopwords))
+    return sig.withColumn("keep_gopher", keep)
+
+
+def c4_clean(df, id_col: str, text_col: str = "text",
+             min_line_words: int = 5, min_sentences: int = 3):
+    """The C4 cleaning rule set (Raffel et al. 2020 §2.2) as one
+    zero-shuffle projection.  Line rules: keep only lines that end in
+    terminal punctuation (.!?"'), have ≥ ``min_line_words`` words, and
+    don't mention "javascript".  Page rules: drop the whole page when it
+    contains "lorem ipsum" or a curly brace (code), or when the cleaned
+    text has fewer than ``min_sentences`` sentence terminators.
+
+    Returns ``(id, clean_text, n_lines, n_kept_lines, keep_c4)`` —
+    ``clean_text`` is the kept lines re-joined with newlines (original
+    line text preserved; matching is case-insensitive)."""
+    text = _c(text_col)
+    lines = F.coalesce(
+        F.filter(F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+                 lambda x: x != ""),
+        F.array().cast("array<string>"))
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike("[.!?\"']$")
+        & (F.size(F.regexp_extract_all(x, F.lit(r"(\S+)"), 1))
+           >= min_line_words)
+        & ~F.lower(x).contains("javascript"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.size(lines), F.lit(0)).cast("long").alias("n_lines"),
+        F.coalesce(F.size(kept), F.lit(0)).cast("long")
+        .alias("n_kept_lines"),
+        F.when(text.isNull(), F.lit(None).cast("string"))
+        .otherwise(F.array_join(kept, "\n")).alias("clean_text"),
+        (F.lower(text).contains("lorem ipsum")
+         | text.contains("{") | text.contains("}")).alias("_page_bad"))
+    n_sent = F.size(F.regexp_extract_all(
+        F.coalesce(F.col("clean_text"), F.lit("")), F.lit(r"([.!?])"), 1))
+    keep = (~F.coalesce(F.col("_page_bad"), F.lit(True))
+            & (F.col("n_kept_lines") >= 1)
+            & (n_sent >= min_sentences))
+    return base.select("id", "clean_text", "n_lines", "n_kept_lines",
+                       keep.alias("keep_c4"))
+
+
 def make_compression_ratio_udf(level: int = 6):
     """Arrow-batched compression-ratio quality signal:
     ``len(zlib(text)) / len(text_bytes)`` — the Gopher-family repetition

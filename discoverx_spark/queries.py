@@ -3384,6 +3384,119 @@ FROM frac
 """
 
 
+def q_gopher_rules_documents(spark, sf_dir):
+    """The Gopher quality-filter rule set (Rae et al. 2021 A1.1) as one
+    zero-shuffle projection: word-count/mean-word-length ranges,
+    symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic-word
+    fraction, stop-word presence, conjunctive keep."""
+    from .functions.text import gopher_rules
+    docs = _t(spark, sf_dir, "documents")
+    out = gopher_rules(docs, "doc_id")
+    return out.withColumnRenamed("id", "doc_id")
+
+
+_SQL_GOPHER_STOP = "('the','be','to','of','and','that','have','with')"
+
+
+def _sql_gopher_rules() -> str:
+    return rf"""
+WITH f AS (
+  SELECT doc_id,
+         coalesce(regexp_extract_all(lower(text), '(\S+)', 1),
+                  CAST([] AS VARCHAR[])) AS t,
+         coalesce(list_filter(list_transform(string_split(text, chr(10)),
+                                             x -> trim(x)),
+                              x -> x <> ''),
+                  CAST([] AS VARCHAR[])) AS lns,
+         CAST(coalesce(len(regexp_extract_all(text, '(#|\.\.\.|…)', 1)), 0)
+              AS BIGINT) AS sym
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+              AS BIGINT) AS total_len,
+         CAST(coalesce(list_sum(list_transform(t,
+              x -> CASE WHEN regexp_matches(x, '[a-z]') THEN 1 ELSE 0 END)),
+              0) AS BIGINT) AS n_alpha,
+         CAST(coalesce(list_sum(list_transform(t,
+              x -> CASE WHEN x IN {_SQL_GOPHER_STOP} THEN 1 ELSE 0 END)),
+              0) AS BIGINT) AS n_stop,
+         CAST(len(lns) AS BIGINT) AS n_lines,
+         CAST(coalesce(list_sum(list_transform(lns,
+              x -> CASE WHEN starts_with(x, '-') OR starts_with(x, '*')
+                             OR starts_with(x, '•')
+                        THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_bullet,
+         CAST(coalesce(list_sum(list_transform(lns,
+              x -> CASE WHEN ends_with(x, '...') OR ends_with(x, '…')
+                        THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_ellip,
+         sym
+  FROM f),
+s AS (
+  SELECT doc_id, n_words,
+         round(total_len / greatest(n_words, 1)::DOUBLE, 6)
+           AS mean_word_len,
+         round(n_alpha / greatest(n_words, 1)::DOUBLE, 6)
+           AS alpha_word_frac,
+         n_stop AS stopword_count,
+         round(sym / greatest(n_words, 1)::DOUBLE, 6)
+           AS symbol_word_ratio,
+         round(n_bullet / greatest(n_lines, 1)::DOUBLE, 6)
+           AS bullet_line_frac,
+         round(n_ellip / greatest(n_lines, 1)::DOUBLE, 6)
+           AS ellipsis_line_frac
+  FROM g)
+SELECT *,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+        AND stopword_count >= 2) AS keep_gopher
+FROM s
+"""
+
+
+def q_c4_clean_documents(spark, sf_dir):
+    """The C4 cleaning rule set (Raffel et al. 2020 §2.2): line-level
+    terminal-punctuation / ≥5-word / no-javascript keeps, page-level
+    lorem-ipsum / curly-brace / ≥3-sentence drops."""
+    from .functions.text import c4_clean
+    docs = _t(spark, sf_dir, "documents")
+    out = c4_clean(docs, "doc_id")
+    return out.withColumnRenamed("id", "doc_id")
+
+
+def _sql_c4_clean() -> str:
+    return r"""
+WITH f AS (
+  SELECT doc_id, text,
+         coalesce(list_filter(list_transform(string_split(text, chr(10)),
+                                             x -> trim(x)),
+                              x -> x <> ''),
+                  CAST([] AS VARCHAR[])) AS lns
+  FROM documents),
+k AS (
+  SELECT doc_id, text, lns,
+         list_filter(lns, x -> regexp_matches(x, '[.!?"'']$')
+                       AND len(regexp_extract_all(x, '(\S+)', 1)) >= 5
+                       AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM f)
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE coalesce(array_to_string(kept, chr(10)), '')
+       END AS clean_text,
+       CAST(len(lns) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       (NOT coalesce(contains(lower(text), 'lorem ipsum')
+                     OR contains(text, '{') OR contains(text, '}'), TRUE)
+        AND len(kept) >= 1
+        AND len(regexp_extract_all(
+              coalesce(array_to_string(kept, chr(10)), ''),
+              '([.!?])', 1)) >= 3) AS keep_c4
+FROM k
+"""
+
+
 def q_quality_scores_documents(spark, sf_dir):
     """Full quality-ratio profile per document (alpha/digit/punct ratios,
     whitespace-only flag) — the remaining functions/text.py ratio family
@@ -3729,6 +3842,9 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "conversation_gates": (q_conversation_gates,
                            _sql_conversation_gates()),
     "tool_call_stats": (q_tool_call_stats, _sql_tool_call_stats()),
+    "gopher_rules_documents": (q_gopher_rules_documents,
+                               _sql_gopher_rules()),
+    "c4_clean_documents": (q_c4_clean_documents, _sql_c4_clean()),
     "mixing_rates_documents": (q_mixing_rates_documents,
                                _sql_mixing_rates()),
     "incremental_exact_dedup": (q_incremental_exact_dedup,
@@ -3790,6 +3906,8 @@ _NEVER_CERTIFIED = [
     "span_dedup_minlen_documents",
     "curation_pipeline_v2",
     "tool_call_stats",
+    "gopher_rules_documents",
+    "c4_clean_documents",
 ]
 
 

@@ -723,6 +723,63 @@ def test_bpe_udf_rejects_non_monotone_tables(spark):
     make_bpe_segment_udf([("a", "b"), ("ab", "c")])
 
 
+def test_gopher_rules_edges(spark):
+    """Gopher A1.1 edges: each rule individually able to kill a page;
+    null/empty text deterministic false, never NULL."""
+    from discoverx_spark.functions.text import gopher_rules
+
+    good = "The quick brown fox jumps over that lazy dog and it has " \
+           "plenty of fine words to be sure with " * 5
+    df = spark.createDataFrame([
+        (1, good),                                   # passes everything
+        (2, "word " * 60),                           # no stopwords
+        (3, "### " * 60),                            # symbols, no alpha
+        (4, "\n".join(["- the item of and that be to have with x." ] * 20)),
+        (5, None),
+        (6, ""),
+        (7, "the of and to be that have with"),      # only 8 words: short
+    ], "doc_id long, text string")
+    got = {r["id"]: r.asDict() for r in
+           gopher_rules(df, "doc_id").collect()}
+    assert got[1]["keep_gopher"] is True
+    assert got[2]["keep_gopher"] is False  # stopword_count == 0
+    assert got[2]["stopword_count"] == 0
+    assert got[3]["keep_gopher"] is False
+    assert got[3]["alpha_word_frac"] == 0.0
+    assert got[4]["bullet_line_frac"] == 1.0 and not got[4]["keep_gopher"]
+    assert got[5]["keep_gopher"] is False and got[5]["n_words"] == 0
+    assert got[6]["keep_gopher"] is False
+    assert got[7]["keep_gopher"] is False  # n_words < 50
+
+
+def test_c4_clean_edges(spark):
+    """C4 §2.2 edges: terminal punctuation, 5-word minimum, javascript
+    line drop, lorem-ipsum / curly-brace page drops, 3-sentence floor."""
+    from discoverx_spark.functions.text import c4_clean
+
+    df = spark.createDataFrame([
+        (1, "This is a proper sentence one.\nAnd a second good one here!\n"
+            "Finally a third sentence ends properly?"),
+        (2, "No terminal punctuation on this line\nshort one.\n"
+            "Please enable javascript to continue browsing."),
+        (3, "A fine sentence with lorem ipsum inside it stays not.\n"
+            "Second proper sentence right here.\nThird sentence is here."),
+        (4, "Code block follows { x } and more.\nSecond proper sentence.\n"
+            "Third proper sentence here now."),
+        (5, None),
+        (6, "Only two sentences live here today.\nThe second one is this!"),
+    ], "doc_id long, text string")
+    got = {r["id"]: r.asDict() for r in c4_clean(df, "doc_id").collect()}
+    assert got[1]["keep_c4"] and got[1]["n_kept_lines"] == 3
+    assert got[1]["clean_text"].count("\n") == 2
+    # doc 2: line 1 no punct, line 2 <5 words, line 3 javascript -> 0 kept
+    assert got[2]["n_kept_lines"] == 0 and not got[2]["keep_c4"]
+    assert not got[3]["keep_c4"]  # lorem ipsum page drop
+    assert not got[4]["keep_c4"]  # curly-brace page drop
+    assert got[5]["clean_text"] is None and not got[5]["keep_c4"]
+    assert not got[6]["keep_c4"]  # only 2 sentences
+
+
 def test_tool_call_stats_loop_detection(spark):
     """Runaway-loop gate: consecutive same-tool runs counted among tool
     turns only (assistant turns between calls don't break a loop); the
