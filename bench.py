@@ -389,7 +389,11 @@ def main() -> None:
         low_cpus, f"{high_cpus}-{high_cpus + low_cpus - 1}", tpath)
     lows, highs = [], []
     gap = 15
-    for rep in range(4):
+    # cap 6, not 4: the predictive budget check below still stops early
+    # on slow hosts, but a quiet window yields two extra reps and a far
+    # more stable efficiency MEDIAN (the estimator that suffers most
+    # from this host's burst variance)
+    for rep in range(6):
         rep_t0 = time.perf_counter()
         highs.append(high_srv.run())
         time.sleep(gap)

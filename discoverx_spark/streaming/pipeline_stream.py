@@ -243,3 +243,94 @@ def conversation_gates_stream(turns_stream: DataFrame, min_turns: int = 2,
                 stateStructType=_GATE_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+_TOOL_STATE_SCHEMA = T.StructType([
+    T.StructField("n_turns", T.LongType()),
+    T.StructField("n_tool", T.LongType()),
+    T.StructField("tools", T.StringType()),      # \x1f-joined distinct set
+    T.StructField("last_idx", T.LongType()),
+    T.StructField("last_tool", T.StringType()),
+    T.StructField("run", T.LongType()),
+    T.StructField("max_run", T.LongType()),
+])
+_TOOL_OUT_SCHEMA = ("conv_id string, n_turns long, n_tool_calls long, "
+                    "n_distinct_tools long, max_tool_run int, "
+                    "tool_frac double, keep_tool_gate boolean")
+
+
+def tool_call_stats_stream(turns_stream: DataFrame,
+                           max_tool_frac: float = 0.8,
+                           max_tool_run: int = 8) -> DataFrame:
+    """Streaming twin of ``operators.convagg.tool_call_stats``: the
+    running tool-usage profile + runaway-loop verdict per conversation
+    as its turns arrive — an agent executor can cut a looping trace off
+    at ingest instead of after the fact.
+
+    State per live conversation is seven scalars (the distinct-tool set
+    rides as one joined string — tool vocabularies are small by nature).
+    Chunks are concatenated and sorted by ``turn_idx`` once per trigger
+    (the gates-stream discipline); the stored ``(last_idx, last_tool,
+    run)`` boundary extends same-tool runs across triggers only when
+    this trigger's first turn arrives after the stored last one, so
+    out-of-order delivery degrades to starting a fresh run rather than
+    inventing loops.  Exact for any conversation contained in one
+    trigger (batch-parity asserted in tests)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    def _round6(x: float) -> float:
+        return float(Decimal(x).quantize(Decimal("0.000001"),
+                                         rounding=ROUND_HALF_UP))
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            (n_turns, n_tool, tools_s, last_idx, last_tool,
+             run, max_run) = state.get
+        else:
+            n_turns, n_tool, tools_s, last_idx, last_tool, run, max_run = \
+                0, 0, "", -1, "", 0, 0
+        tools = set(tools_s.split("\x1f")) if tools_s else set()
+        chunks = list(pdfs)
+        pdf = (pd.concat(chunks, ignore_index=True) if chunks
+               else pd.DataFrame(columns=["turn_idx", "role", "tool"]))
+        if len(pdf):
+            pdf = pdf.sort_values("turn_idx")
+            n_turns += len(pdf)
+            in_order = int(pdf["turn_idx"].iloc[0]) > last_idx
+            if not in_order:
+                last_tool, run = "", 0
+            for _, row in pdf.iterrows():
+                if row["role"] != "tool":
+                    continue
+                # "\x00" encodes a NULL tool name: the batch twin's
+                # eqNullSafe chains consecutive NULLs into ONE run but
+                # count_distinct excludes them — mirror both
+                tool = row["tool"] if isinstance(row["tool"], str) \
+                    else "\x00"
+                n_tool += 1
+                if tool != "\x00":
+                    tools.add(tool)
+                run = run + 1 if (last_tool != "" and tool == last_tool) \
+                    else 1
+                max_run = max(max_run, run)
+                last_tool = tool
+            last_idx = int(pdf["turn_idx"].iloc[-1])
+        state.update((n_turns, n_tool, "\x1f".join(sorted(tools)),
+                      last_idx, last_tool, run, max_run))
+        tool_frac = _round6(n_tool / max(n_turns, 1))
+        keep = tool_frac <= max_tool_frac and max_run <= max_tool_run
+        yield pd.DataFrame({
+            "conv_id": [key[0]], "n_turns": [n_turns],
+            "n_tool_calls": [n_tool], "n_distinct_tools": [len(tools)],
+            "max_tool_run": [int(max_run)], "tool_frac": [tool_frac],
+            "keep_tool_gate": [keep]})
+
+    return (turns_stream.select("conv_id", "turn_idx", "role", "tool")
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                update, outputStructType=_TOOL_OUT_SCHEMA,
+                stateStructType=_TOOL_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

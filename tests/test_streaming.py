@@ -44,6 +44,29 @@ def test_stream_checkpoint_resume_no_duplicates(spark, input_dir, tmp_path):
     assert spark.read.parquet(out).count() == n1
 
 
+def test_tool_call_stats_stream_matches_batch(spark, input_dir, tmp_path):
+    from discoverx_spark.operators.convagg import tool_call_stats
+    from discoverx_spark.streaming import tool_call_stats_stream
+
+    stream = read_transcripts_stream(spark, input_dir)
+    q = (tool_call_stats_stream(stream)
+         .writeStream.format("memory").queryName("toolstats")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    cols = ("n_turns", "n_tool_calls", "n_distinct_tools", "max_tool_run",
+            "tool_frac", "keep_tool_gate")
+    got = {r["conv_id"]: tuple(r[c] for c in cols)
+           for r in spark.sql("SELECT * FROM toolstats").collect()}
+    exp = {r["conv_id"]: tuple(r[c] for c in cols)
+           for r in tool_call_stats(
+               spark.read.parquet(input_dir)).collect()}
+    assert set(got) == set(exp)
+    for conv in exp:
+        assert got[conv] == exp[conv], conv
+    # the generated corpus must actually exercise tool turns
+    assert any(v[1] > 0 for v in exp.values())
+
+
 def test_windowed_keep_metrics(spark, input_dir, tmp_path):
     stream = read_transcripts_stream(spark, input_dir)
     decisions = decide_stream(stream, CFG)
