@@ -314,10 +314,12 @@ def tool_call_stats(turns: DataFrame,
     ``max_tool_run``.
 
     Plan shape: every window and aggregation partitions on ``conv_id``
-    alone (the run id is a lag-flag running sum, never a
-    ``(conv_id, tool)`` re-partition), so the operator costs ONE
-    shuffle of short ``(conv_id, turn_idx, tool)`` rows shared across
-    all stages; the text column never moves.
+    alone — the run id is a lag-flag running sum, never a
+    ``(conv_id, tool)`` re-partition, so BOTH run aggregations reuse the
+    window's exchange.  Total: two conv_id hash exchanges of short
+    ``(conv_id, turn_idx, tool)`` rows (the stats branch and the
+    tool-turn branch) plus a broadcast join-back; the text column never
+    moves.
 
     Returns ``(conv_id, n_turns, n_tool_calls, n_distinct_tools,
     max_tool_run, tool_frac, keep_tool_gate)``.
@@ -325,12 +327,18 @@ def tool_call_stats(turns: DataFrame,
     from pyspark.sql.window import Window
 
     base = turns.select("conv_id", "turn_idx", "role", "tool")
+    # size(collect_set) not count_distinct: Spark rewrites a distinct
+    # aggregate into TWO exchanges ((conv_id, tool) then conv_id);
+    # collect_set holds the per-conversation tool set in the aggregation
+    # buffer — tool vocabularies are tiny by nature — and keeps the
+    # stats branch at one conv_id exchange (same NULL-excluding
+    # semantics; plan-tested)
     stats = base.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.sum((F.col("role") == "tool").cast("long")).alias("n_tool_calls"),
-        F.count_distinct(
-            F.when(F.col("role") == "tool", F.col("tool")))
-        .alias("n_distinct_tools"))
+        F.size(F.collect_set(
+            F.when(F.col("role") == "tool", F.col("tool"))))
+        .cast("long").alias("n_distinct_tools"))
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     tool_turns = base.filter(F.col("role") == "tool")
     # gaps-and-islands without a (conv_id, tool) re-partition: a run

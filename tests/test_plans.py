@@ -159,6 +159,25 @@ def test_stupid_backoff_trains_once(spark):
     assert plan.count("HashAggregate") <= 4
 
 
+def test_named_rule_sets_zero_shuffle(spark):
+    """gopher_rules and c4_clean must stay pure projections: no
+    exchange, no join — the signal folds run inside one scan pass."""
+    for name in ("gopher_rules_documents", "c4_clean_documents"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, name
+        assert "Join" not in plan, name
+
+
+def test_tool_call_stats_two_conv_exchanges(spark):
+    """tool_call_stats: the run aggregations must reuse the tool-turn
+    window's conv_id partitioning — two hash exchanges total (stats
+    branch + tool-turn branch), never a (conv_id, tool) re-partition."""
+    plan = plan_of(spark, "tool_call_stats")
+    assert plan.count("Exchange hashpartitioning(conv_id") <= 2
+    assert "hashpartitioning(conv_id, tool" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_registry_wide_plan_budgets(spark):
     """Every query in the registry must stay inside a shuffle budget and
     contain no CartesianProduct — a blanket guard against plan
