@@ -189,3 +189,54 @@ def train_char_lm(df, text_col: str, k: float = 0.5) -> np.ndarray:
         ib = _SP if b == " " else ord(b) - ord("a")
         counts[ia, ib] += row["count"]
     return np.log(counts / counts.sum(axis=1, keepdims=True))
+
+
+def ccnet_buckets(df, id_col: str, text_col: str = "text",
+                  lang_col: str = "lang", method: str = "quantile",
+                  lm=None, spark=None):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score each
+    document with the char-LM perplexity and split every language's
+    distribution into equal thirds — ``head`` (lowest perplexity =
+    most target-like), ``middle``, ``tail``.  The head/middle split is
+    what CCNet feeds to LM pretraining.
+
+    Two methods, same semantics at the bucket level:
+
+    * ``"quantile"`` (default, the scale path): per-language 1/3- and
+      2/3-quantile thresholds — a tiny per-language aggregate broadcast
+      back onto the scores; swap ``percentile`` for
+      ``percentile_approx`` at 10^12 rows with no shape change.
+      Documents at exactly a threshold bucket downward (<=).
+    * ``"ntile"`` (the oracle path): ``ntile(3)`` over a per-language
+      rank window with a deterministic ``(perplexity, id)`` tie-break —
+      integer semantics identical across engines (no float-boundary
+      coin flips), at the cost of a full per-language sort, so prefer
+      ``"quantile"`` on large corpora.
+
+    Returns ``(id, lang, perplexity, bucket)``; perplexity rounded to 6
+    digits BEFORE bucketing on both paths."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ppl = F.round(make_perplexity_udf(lm=lm, spark=spark)(F.col(text_col)),
+                  6)
+    scored = df.select(F.col(id_col).alias("id"),
+                       F.col(lang_col).alias("lang"),
+                       ppl.alias("perplexity"))
+    if method == "ntile":
+        w = Window.partitionBy("lang").orderBy("perplexity", "id")
+        tile = F.ntile(3).over(w)
+        bucket = (F.when(tile == 1, "head")
+                  .when(tile == 2, "middle").otherwise("tail"))
+        return scored.withColumn("bucket", bucket)
+    if method != "quantile":
+        raise ValueError(f"method must be 'quantile' or 'ntile', "
+                         f"got {method!r}")
+    thr = scored.groupBy("lang").agg(
+        F.percentile("perplexity", F.lit(1.0 / 3.0)).alias("_q33"),
+        F.percentile("perplexity", F.lit(2.0 / 3.0)).alias("_q66"))
+    bucket = (F.when(F.col("perplexity") <= F.col("_q33"), "head")
+              .when(F.col("perplexity") <= F.col("_q66"), "middle")
+              .otherwise("tail"))
+    return (scored.join(F.broadcast(thr), "lang")
+            .select("id", "lang", "perplexity", bucket.alias("bucket")))

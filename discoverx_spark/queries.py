@@ -784,6 +784,47 @@ def q_perplexity_documents(spark, sf_dir):
                        .alias("perplexity"))
 
 
+def q_ccnet_buckets_documents(spark, sf_dir):
+    """CCNet perplexity bucketing (Wenzek et al. 2020): per-language
+    equal thirds of the char-LM perplexity distribution — head (most
+    target-like), middle, tail.  Oracle path = ntile(3) with a
+    deterministic (perplexity, doc_id) tie-break (integer semantics,
+    no cross-engine float-boundary flips); the quantile-threshold scale
+    path is equality-tested against it in pytest."""
+    from .functions.perplexity import ccnet_buckets
+    docs = _t(spark, sf_dir, "documents")
+    out = ccnet_buckets(docs, "doc_id", method="ntile")
+    return out.withColumnRenamed("id", "doc_id")
+
+
+def _sql_ccnet_buckets() -> str:
+    from .functions.perplexity import CHAR_LM, V
+    lm = _sql_double_list(CHAR_LM.flatten().tolist())
+    canon = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z]', "
+             "' ', 'g'), ' +', ' ', 'g'))")
+    ids = ("list_transform(range(1, len(t)+1), "
+           "i -> CASE WHEN t[i] = ' ' THEN 26 ELSE ascii(t[i]) - 97 END)")
+    return f"""
+WITH lmv AS (SELECT {lm} AS lm),
+c AS (SELECT doc_id, lang, {canon} AS t FROM documents),
+i AS (SELECT doc_id, lang, len(t) AS n, {ids} AS ids FROM c),
+p AS (
+  SELECT doc_id, lang,
+         round(CASE WHEN n < 2 THEN CAST({V} AS DOUBLE)
+               ELSE exp(-(list_reduce(
+                      list_transform(range(1, n),
+                                     j -> lm[ids[j]*27 + ids[j+1] + 1]),
+                      (x, y) -> x + y)) / (n - 1)) END, 6) AS perplexity
+  FROM i, lmv)
+SELECT doc_id, lang, perplexity,
+       CASE ntile(3) OVER (PARTITION BY lang
+                           ORDER BY perplexity, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM p
+"""
+
+
 _XXH_CONVS = 60
 _XXH_CLONE_OFFSET = 10_000_000
 
@@ -3845,6 +3886,8 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "gopher_rules_documents": (q_gopher_rules_documents,
                                _sql_gopher_rules()),
     "c4_clean_documents": (q_c4_clean_documents, _sql_c4_clean()),
+    "ccnet_buckets_documents": (q_ccnet_buckets_documents,
+                                _sql_ccnet_buckets()),
     "mixing_rates_documents": (q_mixing_rates_documents,
                                _sql_mixing_rates()),
     "incremental_exact_dedup": (q_incremental_exact_dedup,
@@ -3908,6 +3951,7 @@ _NEVER_CERTIFIED = [
     "tool_call_stats",
     "gopher_rules_documents",
     "c4_clean_documents",
+    "ccnet_buckets_documents",
 ]
 
 

@@ -723,6 +723,51 @@ def test_bpe_udf_rejects_non_monotone_tables(spark):
     make_bpe_segment_udf([("a", "b"), ("ab", "c")])
 
 
+def test_ccnet_buckets_methods_agree(spark, sf_dir):
+    """The quantile-threshold scale path and the ntile oracle path must
+    produce identical per-language bucket SIZES (equal thirds), and the
+    head set must hold the lowest perplexities."""
+    from discoverx_spark.functions.perplexity import ccnet_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nt = ccnet_buckets(docs, "doc_id", method="ntile").collect()
+    qt = ccnet_buckets(docs, "doc_id", method="quantile").collect()
+
+    def sizes(rows):
+        out = {}
+        for r in rows:
+            out.setdefault((r["lang"], r["bucket"]), 0)
+            out[(r["lang"], r["bucket"])] += 1
+        return out
+
+    s_nt, s_qt = sizes(nt), sizes(qt)
+    langs = {r["lang"] for r in nt}
+    for lang in langs:
+        n = sum(v for (lg, _), v in s_nt.items() if lg == lang)
+        # ntile thirds are exact by construction
+        assert max(s_nt.get((lang, b), 0) for b in
+                   ("head", "middle", "tail")) - \
+            min(s_nt.get((lang, b), 0) for b in
+                ("head", "middle", "tail")) <= 1
+        # the quantile path may move only threshold TIES across the
+        # boundary; sizes agree within the tie multiplicity
+        for b in ("head", "middle", "tail"):
+            assert abs(s_qt.get((lang, b), 0) - s_nt.get((lang, b), 0)) \
+                <= max(3, n // 10), (lang, b)
+    # ordering: every head perplexity <= every tail perplexity per lang
+    by_lang = {}
+    for r in nt:
+        by_lang.setdefault(r["lang"], {}).setdefault(
+            r["bucket"], []).append(r["perplexity"])
+    for lang, bk in by_lang.items():
+        if "head" in bk and "tail" in bk:
+            assert max(bk["head"]) <= min(bk["tail"]), lang
+
+    import pytest
+    with pytest.raises(ValueError, match="method"):
+        ccnet_buckets(docs, "doc_id", method="bogus")
+
+
 def test_gopher_rules_edges(spark):
     """Gopher A1.1 edges: each rule individually able to kill a page;
     null/empty text deterministic false, never NULL."""
