@@ -27,7 +27,7 @@ from .similarity import (dot_expr, norm_expr, cosine_expr, brute_force_topk,
                          embedding_near_duplicates, lsh_topk, ivf_train, ivf_assign,
                          ivf_topk, lsh_near_duplicates,
                          lsh_signature_expr, semantic_dedup,
-                         ivf_assign_batched)
+                         ivf_assign_batched, pq_train, pq_encode, pq_topk)
 
 __all__ = [
     "conversation_stats", "conversation_fingerprints",
@@ -55,4 +55,5 @@ __all__ = [
     "dsir_log_weights", "dsir_resample",
     "word_frequencies", "bpe_train", "bpe_segment_expr",
     "make_bpe_segment_udf",
+    "pq_train", "pq_encode", "pq_topk",
 ]

@@ -415,3 +415,153 @@ def ivf_assign_batched(corpus: DataFrame, centroids: DataFrame,
         # saves a corpus-sized join back for consumers that need it)
         schema += f", {keep_vec_col} array<float>"
     return corpus.mapInPandas(gen, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search" — public method).  Vectors are chopped into m
+# subspaces, each subspace gets its own k-code codebook (distributed
+# Lloyd's, deterministic id-based init), vectors compress to m small
+# codes, and queries score by Asymmetric Distance Computation (ADC): a
+# broadcast (subspace, code) → partial-distance lookup table, so search
+# touches only the code table — at 10^9 vectors the float corpus is read
+# once at encode time and never again.
+# --------------------------------------------------------------------------
+
+def _l2_sq_expr(a, b) -> Column:
+    """Deterministic squared-L2: elementwise (a−b)² then a LEFT FOLD sum
+    (F.aggregate), never F.sum — the fold's association order is fixed,
+    so the double result is reproducible across partitionings and
+    replayable by the driver-side reference implementation."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _pq_subvectors(c: DataFrame, m: int) -> DataFrame:
+    """(id, subspace, sv): each vector split into m contiguous
+    subvectors — one explode of a LITERAL 0..m-1 sequence (never a
+    per-row lambda over the vector; the slice bounds are cheap column
+    arithmetic)."""
+    subdim = (F.size("v") / m).cast("int")
+    return (c.select("id",
+                     F.explode(F.sequence(F.lit(0), F.lit(m - 1)))
+                     .alias("subspace"), "v")
+            .select("id", "subspace",
+                    F.slice("v", F.col("subspace") * subdim + 1,
+                            subdim).alias("sv")))
+
+
+def _pq_assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(id, subspace, code, sv): nearest code per subvector.  The argmin
+    is ``min(struct(dist, code, sv))`` under one ``(subspace, id)``
+    groupBy — map-side combined, so the shuffle carries ~one short
+    partial row per group instead of sorting k candidate rows through a
+    window.  The struct comparison IS the deterministic tie-break
+    (distance asc, then code asc; ``sv`` is identical across a group's
+    rows, so it never decides)."""
+    cb = codebook.select("subspace", "code",
+                         F.col("centroid").alias("_cent"))
+    scored = (sub.join(F.broadcast(cb), "subspace")
+              .select("id", "subspace", "sv", "code",
+                      _l2_sq_expr(F.col("sv"), F.col("_cent")).alias("_d")))
+    return (scored
+            .groupBy("subspace", "id")
+            .agg(F.min(F.struct("_d", "code", "sv")).alias("_w"))
+            .select("id", "subspace", F.col("_w.code").alias("code"),
+                    F.col("_w.sv").alias("sv")))
+
+
+def pq_train(corpus: DataFrame, m: int = 4, k: int = 16, n_iter: int = 5,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Train the m per-subspace codebooks with distributed Lloyd
+    iterations (the ivf_train discipline per subspace, all subspaces in
+    the SAME jobs): deterministic init (the k smallest ids' subvectors,
+    code = rank of id), broadcast-assign by squared-L2 with (distance,
+    code) tie-break, posexplode → groupBy(subspace, code, dim) means
+    (map-side combined; the shuffle carries partial-sum rows, never
+    vectors), codes that lose all members keep their previous centroid.
+    The corpus is re-read per iteration but never re-partitioned.
+
+    Returns (subspace, code, centroid: array<double>)."""
+    from pyspark.sql.window import Window
+
+    c = corpus.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    sub = _pq_subvectors(c, m)
+    seeds = c.orderBy("id").limit(k).select("id")
+    w0 = Window.partitionBy("subspace").orderBy("id")
+    codebook = (sub.join(F.broadcast(seeds), "id")
+                .withColumn("code", F.row_number().over(w0) - 1)
+                .select("subspace", "code", F.col("sv").alias("centroid"))
+                .localCheckpoint(eager=True))
+    for _ in range(n_iter):
+        assigned = _pq_assign(sub, codebook).select(
+            "subspace", "code", "sv")
+        means = (assigned.select("subspace", "code",
+                                 F.posexplode("sv").alias("dim_idx", "x"))
+                 .groupBy("subspace", "code", "dim_idx")
+                 .agg((F.sum("x") / F.count("*")).alias("mean")))
+        new_cb = (means.groupBy("subspace", "code")
+                  .agg(F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct("dim_idx", "mean"))),
+                      lambda s: s["mean"]).alias("centroid")))
+        codebook = (codebook.select("subspace", "code",
+                                    F.col("centroid").alias("_old"))
+                    .join(new_cb, ["subspace", "code"], "left")
+                    .select("subspace", "code",
+                            F.coalesce("centroid", "_old").alias("centroid"))
+                    .localCheckpoint(eager=True))
+    return codebook
+
+
+def pq_encode(corpus: DataFrame, codebook: DataFrame,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Compress every vector to its m nearest-centroid codes:
+    (id, codes: array<int>), codes ordered by subspace.  One broadcast
+    join + per-(id, subspace) map-side-combined min-struct argmin — the
+    float corpus is read once; downstream search touches only this table
+    (m bytes/vector at k ≤ 256)."""
+    m = int(codebook.agg(F.max("subspace")).first()[0]) + 1
+    c = corpus.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    sub = _pq_subvectors(c, m)
+    return (_pq_assign(sub, codebook)
+            .groupBy("id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+                lambda s: s["code"]).alias("codes")))
+
+
+def pq_topk(codes_df: DataFrame, codebook: DataFrame,
+            query: Sequence[float], k: int = 10,
+            round_digits: int = 6) -> DataFrame:
+    """ADC top-k: build the (subspace, code) → partial-squared-distance
+    lookup table from the query (m·k tiny rows, broadcast), join it onto
+    the exploded code table, fold per-id partial distances in subspace
+    order (deterministic association), TakeOrdered the k smallest.
+    Returns (id, adc_dist, rank).  The full-precision corpus is never
+    touched — this is the memory-bound-ANN shape at 10^9+ vectors."""
+    from pyspark.sql.window import Window
+
+    m = int(codebook.agg(F.max("subspace")).first()[0]) + 1
+    subdim = len(query) // m
+    q = F.array(*[F.lit(float(x)) for x in query])
+    lut = codebook.select(
+        "subspace", "code",
+        _l2_sq_expr(F.col("centroid"),
+                    F.slice(q, F.col("subspace") * subdim + 1,
+                            F.lit(subdim))).alias("_d"))
+    scores = (codes_df
+              .select("id", F.posexplode("codes").alias("subspace", "code"))
+              .join(F.broadcast(lut), ["subspace", "code"])
+              .groupBy("id")
+              .agg(F.round(F.aggregate(
+                  F.array_sort(F.collect_list(F.struct("subspace", "_d"))),
+                  F.lit(0.0), lambda acc, x: acc + x["_d"]),
+                  round_digits).alias("adc_dist")))
+    topk = scores.orderBy(F.asc("adc_dist"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.asc("adc_dist"), F.asc("id"))
+    return topk.withColumn("rank", F.row_number().over(w))

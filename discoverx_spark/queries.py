@@ -825,6 +825,110 @@ FROM p
 """
 
 
+# Product quantization (operators/similarity.py pq_train/pq_encode/pq_topk)
+_PQ_N, _PQ_DIM, _PQ_M, _PQ_K, _PQ_ITER, _PQ_TOPK = 200, 16, 4, 8, 3, 10
+
+
+def _pq_vectors_df(spark):
+    """Deterministic integer-valued vectors from xxhash64(sid, dim) —
+    integer components make every Lloyd mean an EXACT sum (order-free),
+    so the distributed training is bit-reproducible by the driver-side
+    reference implementation."""
+    sid = F.format_string("v%03d", F.col("id"))
+    emb = F.array(*[F.pmod(F.xxhash64(F.col("sid"), F.lit(d)),
+                           F.lit(8)).cast("double")
+                    for d in range(_PQ_DIM)])
+    return (spark.range(_PQ_N).select(sid.alias("sid"))
+            .select(F.col("sid").alias("vec_id"), emb.alias("embedding")))
+
+
+def q_pq_topk_generated(spark, sf_dir):
+    """Product-quantization ANN end-to-end (Jégou et al. 2011): train m
+    per-subspace codebooks (distributed Lloyd's, deterministic init),
+    compress vectors to m codes, answer a query via the broadcast ADC
+    lookup table — certified rank-for-rank against an independent
+    pure-Python PQ implementation over the identical generated vectors
+    (the xxh VALUES-oracle precedent for iterative algorithms)."""
+    from .operators.similarity import pq_encode, pq_topk, pq_train
+
+    vecs = _pq_vectors_df(spark)
+    cb = pq_train(vecs, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER) \
+        .localCheckpoint(eager=True)
+    codes = pq_encode(vecs, cb)
+    query = [float(d % 8) for d in range(_PQ_DIM)]
+    out = pq_topk(codes, cb, query, k=_PQ_TOPK)
+    return out.select(F.col("id").alias("vec_id"), "adc_dist",
+                      F.col("rank").cast("int").alias("rank"))
+
+
+def _py_pq_reference():
+    """Independent driver-side PQ (plain loops, zero code shared with
+    operators/similarity.py) — the expected-output oracle.  Arithmetic
+    mirrors the Spark plan's deterministic choices: left-fold squared-L2,
+    (distance, code) argmin tie-break, exact integer Lloyd sums,
+    subspace-ordered ADC fold, HALF_UP rounding."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from .functions.xxh import spark_xxhash64_string
+
+    sub = _PQ_DIM // _PQ_M
+    ids = [f"v{i:03d}" for i in range(_PQ_N)]
+    vecs = {s: [float(spark_xxhash64_string(s, d) % 8)
+                for d in range(_PQ_DIM)] for s in ids}
+
+    def l2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    def sv(s, sp):
+        return vecs[s][sp * sub:(sp + 1) * sub]
+
+    seeds = sorted(ids)[:_PQ_K]
+    cb = {(sp, c): sv(seeds[c], sp)
+          for sp in range(_PQ_M) for c in range(_PQ_K)}
+    for _ in range(_PQ_ITER):
+        members = {}
+        for s in ids:
+            for sp in range(_PQ_M):
+                v = sv(s, sp)
+                best = min(range(_PQ_K),
+                           key=lambda c: (l2(v, cb[(sp, c)]), c))
+                members.setdefault((sp, best), []).append(v)
+        for key, svs in members.items():
+            dims = []
+            for di in range(sub):
+                ssum = 0.0
+                for v in svs:
+                    ssum += v[di]
+                dims.append(ssum / len(svs))
+            cb[key] = dims
+    q = [float(d % 8) for d in range(_PQ_DIM)]
+    lut = {(sp, c): l2(cb[(sp, c)], q[sp * sub:(sp + 1) * sub])
+           for sp in range(_PQ_M) for c in range(_PQ_K)}
+    scored = []
+    for s in ids:
+        dist = 0.0
+        for sp in range(_PQ_M):
+            v = sv(s, sp)
+            best = min(range(_PQ_K),
+                       key=lambda c: (l2(v, cb[(sp, c)]), c))
+            dist += lut[(sp, best)]
+        scored.append((s, float(Decimal(dist).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))))
+    scored.sort(key=lambda t: (t[1], t[0]))
+    return [(s, d, r + 1) for r, (s, d) in enumerate(scored[:_PQ_TOPK])]
+
+
+def _sql_pq_topk() -> str:
+    rows = ",\n".join(f"({_sql_lit(s)}, {d!r}, {r})"
+                      for s, d, r in _py_pq_reference())
+    return (f"SELECT vec_id, CAST(adc_dist AS DOUBLE) AS adc_dist, "
+            f"CAST(rank AS INTEGER) AS rank\n"
+            f"FROM (VALUES\n{rows}\n) AS t(vec_id, adc_dist, rank)")
+
+
 _XXH_CONVS = 60
 _XXH_CLONE_OFFSET = 10_000_000
 
@@ -3888,6 +3992,7 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "c4_clean_documents": (q_c4_clean_documents, _sql_c4_clean()),
     "ccnet_buckets_documents": (q_ccnet_buckets_documents,
                                 _sql_ccnet_buckets()),
+    "pq_topk_generated": (q_pq_topk_generated, _sql_pq_topk()),
     "mixing_rates_documents": (q_mixing_rates_documents,
                                _sql_mixing_rates()),
     "incremental_exact_dedup": (q_incremental_exact_dedup,
@@ -3952,6 +4057,7 @@ _NEVER_CERTIFIED = [
     "gopher_rules_documents",
     "c4_clean_documents",
     "ccnet_buckets_documents",
+    "pq_topk_generated",
 ]
 
 

@@ -723,6 +723,48 @@ def test_bpe_udf_rejects_non_monotone_tables(spark):
     make_bpe_segment_udf([("a", "b"), ("ab", "c")])
 
 
+def test_pq_structure_and_recall(spark, sf_dir):
+    """PQ on real embeddings: codebook shape (m × k codes, subdim-length
+    centroids), every vector encoded to m in-range codes, and ADC top-k
+    recalls a reasonable share of the exact L2 top-k (PQ is lossy by
+    design — the assertion is a sanity floor, not a tuning claim)."""
+    from pyspark.sql import functions as F
+
+    from discoverx_spark.operators.similarity import (pq_encode, pq_topk,
+                                                      pq_train)
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .limit(300))
+    dim = len(emb.select("embedding").first()[0])
+    m, k = 4, 8
+    cb = pq_train(emb, m=m, k=k, n_iter=3).localCheckpoint(eager=True)
+    rows = cb.collect()
+    assert len(rows) == m * k
+    assert all(len(r["centroid"]) == dim // m for r in rows)
+
+    codes = pq_encode(emb, cb).localCheckpoint(eager=True)
+    assert codes.count() == emb.count()
+    bad = codes.filter(
+        (F.size("codes") != m)
+        | F.exists("codes", lambda c: (c < 0) | (c >= k))).count()
+    assert bad == 0
+
+    query = emb.select("embedding").first()[0]
+    got = [r["id"] for r in pq_topk(codes, cb, [float(x) for x in query],
+                                    k=10).collect()]
+    # exact L2 top-10 for the same query
+    q = F.array(*[F.lit(float(x)) for x in query])
+    exact = [r["vec_id"] for r in
+             (emb.select("vec_id",
+                         F.aggregate(
+                             F.zip_with(F.col("embedding").cast("array<double>"), q,
+                                        lambda a, b: (a - b) * (a - b)),
+                             F.lit(0.0), lambda acc, x: acc + x).alias("d"))
+              .orderBy(F.asc("d"), F.asc("vec_id")).limit(10).collect())]
+    overlap = len(set(got) & set(exact))
+    assert overlap >= 3, (overlap, got, exact)
+
+
 def test_ccnet_buckets_methods_agree(spark, sf_dir):
     """The quantile-threshold scale path and the ntile oracle path must
     produce identical per-language bucket SIZES (equal thirds), and the
