@@ -723,6 +723,112 @@ def test_bpe_udf_rejects_non_monotone_tables(spark):
     make_bpe_segment_udf([("a", "b"), ("ab", "c")])
 
 
+def _ref_span_dedup(texts, window, min_span=None):
+    """Independent driver-side span_dedup (zero code shared with
+    operators/dedup.py): first-occurrence-kept duplicate windows on
+    lowercased Java-whitespace tokens; optional maximal-span run guard;
+    case-preserving single-space rebuild."""
+    import re
+
+    tok = re.compile(r"[^ \t\n\x0b\f\r]+")
+    toks = {i: ([] if t is None else tok.findall(t)) for i, t in texts.items()}
+    occs = {}
+    for i in sorted(toks):
+        low = [w.lower() for w in toks[i]]
+        for p in range(len(low) - window + 1):
+            occs.setdefault(" ".join(low[p:p + window]), []).append((i, p))
+    rm = {i: set() for i in toks}
+    for gram, sites in occs.items():
+        if len(sites) < 2:
+            continue
+        first = min(sites)
+        for (i, p) in sites:
+            if (i, p) != first:
+                rm[i].add(p)
+    out = {}
+    for i, starts in rm.items():
+        if min_span is None:
+            covered = {q for p in starts for q in range(p, p + window)}
+        else:
+            covered = set()
+            runs, cur = [], []
+            for p in sorted(starts):
+                if cur and p == cur[-1] + 1:
+                    cur.append(p)
+                else:
+                    if cur:
+                        runs.append(cur)
+                    cur = [p]
+            if cur:
+                runs.append(cur)
+            need = min_span - window + 1
+            for r in runs:
+                if len(r) >= need:
+                    covered |= set(range(r[0], r[-1] + window))
+        kept = [w for q, w in enumerate(toks[i]) if q not in covered]
+        clean = None if texts[i] is None else " ".join(kept)
+        out[i] = (clean, len(toks[i]), len(toks[i]) - len(kept))
+    return out
+
+
+def test_span_dedup_random_differential(spark):
+    """Differential fuzz: Spark span_dedup (both hash families, with and
+    without min_span_tokens) vs an independent Python reference over
+    seeded random corpora with a tiny alphabet (forces heavy gram
+    collisions, overlaps, cross-doc and within-doc duplicates)."""
+    import random
+
+    from discoverx_spark.operators.dedup import span_dedup
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        vocab = ["aa", "Bb", "cc", "DD", "e"]
+        texts = {}
+        for i in range(30):
+            n = rng.randint(0, 25)
+            texts[i] = " ".join(rng.choice(vocab) for _ in range(n))
+        texts[30] = None
+        texts[31] = ""
+        df = spark.createDataFrame(list(texts.items()),
+                                   "doc_id long, text string")
+        for window in (3, 5):
+            for min_span in (None, window + 2):
+                exp = _ref_span_dedup(texts, window, min_span)
+                got = {r["id"]: (r["clean_text"], r["n_tokens"],
+                                 r["n_removed"])
+                       for r in span_dedup(
+                           df, "text", "doc_id", window=window,
+                           hash_mode="gram",
+                           min_span_tokens=min_span).collect()}
+                assert got == exp, (seed, window, min_span)
+        # production hash family agrees with the gram family
+        got_xx = {r["id"]: (r["clean_text"], r["n_removed"])
+                  for r in span_dedup(df, "text", "doc_id",
+                                      window=3).collect()}
+        exp3 = _ref_span_dedup(texts, 3)
+        assert got_xx == {i: (v[0], v[2]) for i, v in exp3.items()}, seed
+
+
+def test_bpe_batch_random_differential(spark):
+    """Differential fuzz: batched BPE training == classic
+    one-merge-per-scan on seeded random corpora (heavy pair interaction:
+    tiny alphabet, repeated substrings)."""
+    import random
+
+    from discoverx_spark.operators.bpe import bpe_train
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        words = ["".join(rng.choice("abc") for _ in range(rng.randint(1, 5)))
+                 for _ in range(12)]
+        text = " ".join(rng.choice(words) for _ in range(200))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        ref = bpe_train(df, "text", num_merges=10, batch_size=1)
+        for bs in (4, 16):
+            got = bpe_train(df, "text", num_merges=10, batch_size=bs)
+            assert got == ref, (seed, bs)
+
+
 def test_pq_structure_and_recall(spark, sf_dir):
     """PQ on real embeddings: codebook shape (m × k codes, subdim-length
     centroids), every vector encoded to m in-range codes, and ADC top-k
