@@ -744,12 +744,20 @@ def line_dedup(df: DataFrame, text_col: str, id_col: str,
                        | (F.col("pos") != F.col("w_pos")))
                 .groupBy("_ld_id")
                 .agg(F.collect_list("pos").alias("_ld_rm")))
+    return _rebuild_without_lines(df, text_col, id_col, removals)
+
+
+def _rebuild_without_lines(df: DataFrame, text_col: str, id_col: str,
+                           removals: DataFrame) -> DataFrame:
+    """Rebuild each doc without its removed line positions.  ``removals``
+    is ``(_ld_id, _ld_rm: array<int>)``.  The removed-position lookup is
+    a per-row hash map: array_contains inside the filter would be
+    O(lines × removals) on boilerplate-heavy docs.  The map is
+    materialized as a COLUMN first — referencing it from the lambda as
+    an attribute is safe; an inline map expression would be re-built per
+    element by Catalyst's lambda inlining."""
+    parts = F.split(F.col(text_col), "\n")
     rm = F.coalesce(F.col("_ld_rm"), F.array().cast("array<int>"))
-    # removed-position lookup as a per-row hash map: array_contains inside
-    # the filter would be O(lines × removals) on boilerplate-heavy docs.
-    # The map is materialized as a COLUMN first — referencing it from the
-    # lambda as an attribute is safe; an inline map expression would be
-    # re-built per element by Catalyst's lambda inlining.
     out = (df.join(removals, df[id_col] == removals["_ld_id"], "left")
            .withColumn("_ld_rm_map", F.map_from_arrays(
                rm, F.transform(rm, lambda _: F.lit(True)))))
@@ -796,6 +804,82 @@ def incremental_exact_dedup(batch: DataFrame, index_fps: DataFrame,
             .agg(F.min("_ie_id").alias("_ie_keep_id"))
             .select(F.col("_ie_keep_id").alias(id_col)))
     return batch.join(keep, id_col, "left_semi")
+
+
+def _line_key_fn(hash_mode: str):
+    """128-bit line key family (the line_dedup policy: destructive ops
+    never key on fewer bits)."""
+    if hash_mode == "md5":
+        return lambda c: F.md5(c)
+    if hash_mode == "xxhash64":
+        return lambda c: F.struct(F.xxhash64(c, F.lit(0)).alias("h0"),
+                                  F.xxhash64(c, F.lit(1)).alias("h1"))
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+
+def line_keys(df: DataFrame, text_col: str,
+              hash_mode: str = "xxhash64") -> DataFrame:
+    """Distinct 128-bit keys of every non-blank trimmed line — builds the
+    initial index for :func:`incremental_line_dedup` and, applied to a
+    batch's SURVIVORS, the append that maintains it (append-only, like
+    the exact-dedup fingerprint index)."""
+    hf = _line_key_fn(hash_mode)
+    parts = F.split(F.col(text_col), "\n")
+    norm = F.regexp_replace(F.col("line"), r"^\s+|\s+$", "")
+    return (df.select(F.explode(parts).alias("line"))
+            .where(norm != "")
+            .select(hf(norm).alias("k")).distinct())
+
+
+def incremental_line_dedup(batch: DataFrame, index_keys: DataFrame,
+                           text_col: str, id_col: str,
+                           min_count: int = 2,
+                           hash_mode: str = "xxhash64") -> DataFrame:
+    """Line dedup of a NEW batch against an existing line-key index —
+    the daily-crawl update path completing the incremental family
+    (exact → :func:`incremental_exact_dedup`, near-dup →
+    :func:`incremental_lsh_pairs`, lines → here).  A batch line is
+    removed when its key is already indexed (the corpus saw it — EVERY
+    batch occurrence goes), or when it repeats ``min_count``+ times
+    within the batch and this isn't the smallest-``(id, pos)``
+    occurrence (the :func:`line_dedup` rule applied batch-locally).
+
+    Shuffle shape: one left join of ``(key, id, pos)`` short rows
+    against the index (pruned to its key column; bucket both sides by
+    key at production scale for a co-located join), one key-grouped
+    winner election REUSING the join's partitioning, and the standard
+    position-list rebuild — batch text never rides a shuffle, indexed
+    text is never re-read.
+
+    Returns ``(id, clean_text, n_lines, n_removed)``; maintain the index
+    by appending ``line_keys(result, "clean_text")``."""
+    if min_count < 2:
+        raise ValueError("min_count < 2 would delete unique lines")
+    hf = _line_key_fn(hash_mode)
+    parts = F.split(F.col(text_col), "\n")
+    norm = F.regexp_replace(F.col("line"), r"^\s+|\s+$", "")
+    lines = (batch.select(F.col(id_col).alias("_ld_id"),
+                          F.posexplode(parts).alias("pos", "line"))
+             .where(norm != "")
+             .select("_ld_id", "pos", hf(norm).alias("k")))
+    j = lines.join(index_keys.select("k").distinct()
+                   .withColumn("_ix", F.lit(True)), "k", "left")
+    # one pass per key: the batch-local winner is elected only among
+    # non-indexed occurrences; keys present in the index need no winner
+    stats = (j.groupBy("k").agg(
+        F.min(F.when(F.col("_ix").isNull(),
+                     F.struct("_ld_id", "pos"))).alias("w"),
+        F.count(F.when(F.col("_ix").isNull(), F.lit(1))).alias("cnt"),
+        F.max("_ix").alias("_ix_any")))
+    removals = (j.select("k", "_ld_id", "pos")
+                .join(stats, "k")
+                .where(F.col("_ix_any")
+                       | ((F.col("cnt") >= min_count)
+                          & ((F.col("_ld_id") != F.col("w._ld_id"))
+                             | (F.col("pos") != F.col("w.pos")))))
+                .groupBy("_ld_id")
+                .agg(F.collect_list("pos").alias("_ld_rm")))
+    return _rebuild_without_lines(batch, text_col, id_col, removals)
 
 
 def line_dedup_within(df: DataFrame, text_col: str,

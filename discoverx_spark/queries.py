@@ -1955,6 +1955,72 @@ GROUP BY l.page
 """
 
 
+def q_incremental_line_dedup(spark, sf_dir):
+    """Line dedup of a NEW page batch against the existing corpus's
+    line-key index (the daily-crawl update completing the incremental
+    family): pages 0-24 are 'already ingested' (their distinct line keys
+    are the index), pages 25-49 arrive as the batch — every batch line
+    already indexed is removed, batch-internal repeats keep their first
+    occurrence.  md5 keys for DuckDB parity; production runs the
+    dual-seed xxhash64 struct."""
+    from .operators.dedup import incremental_line_dedup, line_keys
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select((F.col("doc_id") % 50).alias("page"),
+                    F.col("doc_id").alias("ord"), "text")
+    b = (docs.where(F.col("doc_id") % 3 == 0)
+         .select(((F.col("doc_id") * 7 + 13) % 50).alias("page"),
+                 (F.col("doc_id") + 100000).alias("ord"), "text"))
+    pages = (a.unionByName(b).groupBy("page")
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("ord", "text"))),
+                     lambda s: s["text"]),
+                 "\n").alias("text"))
+             .localCheckpoint(eager=True))
+    idx = line_keys(pages.where(F.col("page") < 25), "text",
+                    hash_mode="md5")
+    batch = pages.where(F.col("page") >= 25)
+    return incremental_line_dedup(batch, idx, "text", "page",
+                                  hash_mode="md5")
+
+
+SQL_INCREMENTAL_LINE_DEDUP = r"""
+WITH pages AS (
+  SELECT page, string_agg(text, chr(10) ORDER BY ord) AS text FROM (
+    SELECT doc_id % 50 AS page, doc_id AS ord, text FROM documents
+    UNION ALL
+    SELECT (doc_id * 7 + 13) % 50 AS page, doc_id + 100000 AS ord, text
+    FROM documents WHERE doc_id % 3 = 0
+  ) GROUP BY page
+),
+sp AS (SELECT page, string_split(text, chr(10)) AS parts FROM pages),
+lines AS (SELECT page, unnest(parts) AS line,
+                 generate_subscripts(parts, 1) AS pos
+          FROM sp),
+keyed AS (SELECT page, pos,
+                 md5(regexp_replace(line, '^\s+|\s+$', '', 'g')) AS k
+          FROM lines WHERE regexp_replace(line, '^\s+|\s+$', '', 'g') <> ''),
+idx AS (SELECT DISTINCT k FROM keyed WHERE page < 25),
+bk AS (SELECT page, pos, k FROM keyed WHERE page >= 25),
+ranked AS (SELECT page, pos,
+                  ROW_NUMBER() OVER (PARTITION BY k ORDER BY page, pos) AS rn,
+                  COUNT(*) OVER (PARTITION BY k) AS cnt
+           FROM bk WHERE k NOT IN (SELECT k FROM idx)),
+rm AS (
+  SELECT page, pos FROM bk WHERE k IN (SELECT k FROM idx)
+  UNION ALL
+  SELECT page, pos FROM ranked WHERE cnt >= 2 AND rn > 1)
+SELECT l.page,
+       COALESCE(string_agg(CASE WHEN r.pos IS NULL THEN l.line END,
+                           chr(10) ORDER BY l.pos), '') AS clean_text,
+       CAST(COUNT(*) AS INTEGER) AS n_lines,
+       CAST(COUNT(r.pos) AS INTEGER) AS n_removed
+FROM (SELECT * FROM lines WHERE page >= 25) l
+LEFT JOIN rm r ON l.page = r.page AND l.pos = r.pos
+GROUP BY l.page
+"""
+
+
 def q_length_quantiles_documents(spark, sf_dir):
     """Exact per-source document-length quantiles (p50/p90/p99) — the
     length-distribution stat every corpus-curation report starts with.
@@ -3993,6 +4059,8 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "ccnet_buckets_documents": (q_ccnet_buckets_documents,
                                 _sql_ccnet_buckets()),
     "pq_topk_generated": (q_pq_topk_generated, _sql_pq_topk()),
+    "incremental_line_dedup": (q_incremental_line_dedup,
+                               SQL_INCREMENTAL_LINE_DEDUP),
     "mixing_rates_documents": (q_mixing_rates_documents,
                                _sql_mixing_rates()),
     "incremental_exact_dedup": (q_incremental_exact_dedup,
@@ -4058,6 +4126,7 @@ _NEVER_CERTIFIED = [
     "c4_clean_documents",
     "ccnet_buckets_documents",
     "pq_topk_generated",
+    "incremental_line_dedup",
 ]
 
 

@@ -829,6 +829,45 @@ def test_bpe_batch_random_differential(spark):
             assert got == ref, (seed, bs)
 
 
+def test_incremental_line_dedup_semantics(spark):
+    """Index hits remove EVERY batch occurrence (the corpus already has
+    the line); batch-internal repeats keep their first occurrence;
+    blanks and novel lines survive; line_keys of the survivors is the
+    append that maintains the index."""
+    from discoverx_spark.operators.dedup import (incremental_line_dedup,
+                                                 line_keys)
+
+    corpus = spark.createDataFrame(
+        [(0, "old boilerplate\nsome earlier content")],
+        "doc_id long, text string")
+    idx = line_keys(corpus, "text").localCheckpoint(eager=True)
+
+    batch = spark.createDataFrame([
+        (10, "old boilerplate\nfresh line one.\n\nfresh line one.\nunique"),
+        (11, "  old boilerplate  \nfresh line one.\nother novel"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+           for r in incremental_line_dedup(batch, idx, "text",
+                                           "doc_id").collect()}
+    # doc 10: indexed line gone, first 'fresh line one.' kept, its repeat
+    # removed, blank and unique survive
+    assert got[10] == ("fresh line one.\n\nunique", 5, 2)
+    # doc 11: indexed line matches after trim; its 'fresh line one.' is a
+    # batch repeat of doc 10's first occurrence
+    assert got[11] == ("other novel", 3, 2)
+
+    # index maintenance: appending the survivors' keys makes a rerun of
+    # the same batch remove everything non-blank
+    clean_df = spark.createDataFrame(
+        [(k, v[0]) for k, v in got.items()], "doc_id long, text string")
+    idx2 = idx.unionByName(line_keys(clean_df, "text")) \
+        .localCheckpoint(eager=True)
+    again = {r["doc_id"]: r["clean_text"]
+             for r in incremental_line_dedup(batch, idx2, "text",
+                                             "doc_id").collect()}
+    assert again[10] == "" and again[11] == ""
+
+
 def test_pq_structure_and_recall(spark, sf_dir):
     """PQ on real embeddings: codebook shape (m × k codes, subdim-length
     centroids), every vector encoded to m in-range codes, and ADC top-k

@@ -219,6 +219,9 @@ def test_registry_wide_plan_budgets(spark):
         # novel-fp groupBy + semi-join back, over a two-branch union that
         # re-scans (not re-shuffles) the batch per reference
         "incremental_exact_dedup": 12,
+        # index distinct + k-keyed left join + per-key stats (reusing the
+        # join partitioning) + join-back + removal groupBy + rebuild join
+        "incremental_line_dedup": 7,
         # multi-stage compositions
         "curation_pipeline_documents": 8, "dedup_conversations": 8,
         # gates window + conv-flatten groupBy + classifier (token groupBy,
