@@ -1751,8 +1751,92 @@ FROM documents d LEFT JOIN per_doc USING (doc_id)
 """
 
 
+_KN_D = 0.75
+
+
+def q_kneser_ney_documents(spark, sf_dir):
+    """Per-document interpolated Kneser-Ney trigram perplexity against
+    the corpus's own model (the KenLM smoothing, fixed discount D=0.75
+    for the oracle; ``discount="modified"`` is the KenLM default,
+    differentially tested in tests/test_kneser_ney.py): continuation
+    counts give novel-continuation probability, join-based scoring,
+    zero Python."""
+    from .functions.kneser_ney import kneser_ney_model, kneser_ney_score
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    model = kneser_ney_model(docs, "text")
+    out = kneser_ney_score(docs, "text", "doc_id", model, discount=_KN_D)
+    return out.select(F.col("id").alias("doc_id"),
+                      F.round("kn_ppl", 6).alias("kn_ppl"),
+                      F.col("n_tokens").cast("int").alias("n_tokens"))
+
+
+def _sql_kneser_ney() -> str:
+    d = repr(_KN_D)
+    # the three interpolation levels, mirrored VERBATIM from
+    # functions/kneser_ney.py's Column tree (same operand order — IEEE
+    # doubles make the values bit-identical before round())
+    p1 = (f"(greatest(coalesce(n1.n1c, 0) - {d}, 0.0) / tot.tt"
+          f" + {d} * tot.vv / tot.tt * (1.0 / (tot.vv + 1.0)))")
+    p2 = (f"(CASE WHEN ctx2.nsum IS NOT NULL THEN"
+          f" greatest(coalesce(n2.n2c, 0) - {d}, 0.0) / ctx2.nsum"
+          f" + {d} * ctx2.nn2 / ctx2.nsum * {p1}"
+          f" ELSE {p1} END)")
+    p3 = (f"(CASE WHEN ctx3.csum IS NOT NULL THEN"
+          f" greatest(coalesce(c3.cnt, 0) - {d}, 0.0) / ctx3.csum"
+          f" + {d} * ctx3.n3 / ctx3.csum * {p2}"
+          f" ELSE {p2} END)")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '(\S+)', 1) AS t
+  FROM documents),
+tri AS (
+  SELECT t[i] AS u, t[i+1] AS v, t[i+2] AS w
+  FROM (SELECT t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+big AS (
+  SELECT t[i] AS v, t[i+1] AS w
+  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)),
+c3 AS (SELECT u, v, w, count(*) AS cnt FROM tri GROUP BY u, v, w),
+ctx3 AS (SELECT u, v, CAST(sum(cnt) AS BIGINT) AS csum, count(*) AS n3
+         FROM c3 GROUP BY u, v),
+n2 AS (SELECT v, w, count(*) AS n2c FROM c3 GROUP BY v, w),
+ctx2 AS (SELECT v, CAST(sum(n2c) AS BIGINT) AS nsum, count(*) AS nn2
+         FROM n2 GROUP BY v),
+c2t AS (SELECT v, w FROM big GROUP BY v, w),
+n1 AS (SELECT w, count(*) AS n1c FROM c2t GROUP BY w),
+tot AS (SELECT count(*) AS tt, count(DISTINCT w) AS vv FROM c2t),
+pos AS (
+  SELECT doc_id, i, t[i] AS w,
+         CASE WHEN i >= 2 THEN t[i-1] END AS w1,
+         CASE WHEN i >= 3 THEN t[i-2] END AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)),
+scored AS (
+  SELECT pos.doc_id, pos.i,
+         ln(CASE WHEN pos.w1 IS NULL THEN {p1}
+                 WHEN pos.w2 IS NULL THEN {p2}
+                 ELSE {p3} END) AS lp
+  FROM pos
+  LEFT JOIN c3 ON pos.w2 IS NOT NULL AND c3.u = pos.w2
+              AND c3.v = pos.w1 AND c3.w = pos.w
+  LEFT JOIN ctx3 ON pos.w2 IS NOT NULL AND ctx3.u = pos.w2
+                AND ctx3.v = pos.w1
+  LEFT JOIN n2 ON pos.w1 IS NOT NULL AND n2.v = pos.w1 AND n2.w = pos.w
+  LEFT JOIN ctx2 ON pos.w1 IS NOT NULL AND ctx2.v = pos.w1
+  LEFT JOIN n1 ON n1.w = pos.w
+  CROSS JOIN tot),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         list_reduce(list_prepend(0.0, list(lp ORDER BY i)),
+                     (a, x) -> a + x) AS s
+  FROM scored GROUP BY doc_id)
+SELECT d.doc_id,
+       round(exp(-per_doc.s / per_doc.n_tokens), 6) AS kn_ppl,
+       CAST(coalesce(per_doc.n_tokens, 0) AS INTEGER) AS n_tokens
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
 # DSIR importance resampling (operators/dsir.py): target = every 10th
-# document, raw = the whole corpus; md5 bucket family for oracle parity
+# document, raw = the whole corpus; md5 bucket for oracle parity
 _DSIR_BUCKETS = 512
 _DSIR_ALPHA = 0.5
 _DSIR_K = 25
@@ -4027,6 +4111,7 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
                                   _sql_ngram_lm_counts()),
     "stupid_backoff_documents": (q_stupid_backoff_documents,
                                  _sql_stupid_backoff()),
+    "kneser_ney_documents": (q_kneser_ney_documents, _sql_kneser_ney()),
     "dsir_weights_documents": (q_dsir_weights_documents,
                                _sql_dsir_weights()),
     "dsir_resample_documents": (q_dsir_resample_documents,
@@ -4127,6 +4212,7 @@ _NEVER_CERTIFIED = [
     "ccnet_buckets_documents",
     "pq_topk_generated",
     "incremental_line_dedup",
+    "kneser_ney_documents",
 ]
 
 

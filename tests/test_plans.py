@@ -211,6 +211,9 @@ def test_registry_wide_plan_budgets(spark):
         # five broadcast count-table joins + total agg + per-doc fold
         # groupBy + empty-doc restore join (model checkpointed once)
         "stupid_backoff_documents": 9,
+        # six broadcast stat-slice joins off the checkpointed model +
+        # per-doc fold groupBy + empty-doc restore join
+        "kneser_ney_documents": 9,
         # two ranking windows (probe selection + final top-k) + assign
         "ivf_topk": 8,
         # history top-2 window + two op streams + full-outer + dim joins
