@@ -69,6 +69,9 @@ HEADLINE = [
     # gates → flatten → quality classifier → DSIR top-k) certified in
     # composition — tracked so composition overhead stays visible
     "curation_pipeline_v2",
+    # round-5: interpolated Kneser-Ney trigram LM (train + join-based
+    # scoring composed in one query, like stupid_backoff above)
+    "kneser_ney_documents",
 ]
 
 
