@@ -24,6 +24,7 @@ from .bpe import (word_frequencies, bpe_train, bpe_segment_expr,
 from .sampling import (cap_per_group, domain_blocklist_filter, hash_sample,
                        mixing_rates, split_train_holdout,
                        stratified_hash_sample)
+from .logreg import hashed_features, logreg_predict, logreg_train
 from .similarity import (dot_expr, norm_expr, cosine_expr, brute_force_topk,
                          embedding_near_duplicates, lsh_topk, ivf_train, ivf_assign,
                          ivf_topk, lsh_near_duplicates,
@@ -58,4 +59,5 @@ __all__ = [
     "word_frequencies", "bpe_train", "bpe_segment_expr",
     "make_bpe_segment_udf",
     "pq_train", "pq_encode", "pq_topk",
+    "hashed_features", "logreg_predict", "logreg_train",
 ]

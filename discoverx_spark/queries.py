@@ -929,6 +929,166 @@ def _sql_pq_topk() -> str:
             f"FROM (VALUES\n{rows}\n) AS t(vec_id, adc_dist, rank)")
 
 
+# Trainable quality classifier (operators/logreg.py): full-batch
+# logistic regression on hashed unigram features, certified end-to-end
+# (training loop AND predict path) against an independent pure-Python
+# model over the identical deterministic generated corpus — the PQ /
+# bpe_train VALUES-oracle precedent for iterative algorithms.
+_LR_N, _LR_B, _LR_ITER, _LR_LR, _LR_L2 = 240, 64, 6, 2.0, 1e-3
+_LR_NEUTRAL = ("the", "a", "of", "to", "and", "in", "is", "it")
+
+
+def _lr_docs_df(spark):
+    """Deterministic labeled corpus: class-specific words (good0-7 /
+    bad0-7) with shared neutral words and 20% label noise (the opposite
+    class's vocabulary) — separable but not trivially, so the trained
+    weights are meaningfully nonzero in both directions."""
+    sid = F.format_string("d%03d", F.col("id"))
+    base = spark.range(_LR_N).select(F.col("id").alias("doc_id"),
+                                     sid.alias("sid"))
+    y = F.pmod(F.xxhash64(F.col("sid"), F.lit(999)), F.lit(2)).cast("int")
+    ln = (F.lit(5)
+          + F.pmod(F.xxhash64(F.col("sid"), F.lit(998)), F.lit(20))) \
+        .cast("int")
+    base = base.select("doc_id", "sid", y.alias("y"), ln.alias("_ln"))
+    neut = F.array(*[F.lit(w) for w in _LR_NEUTRAL])
+    toks = []
+    for i in range(25):
+        r = F.pmod(F.xxhash64(F.col("sid"), F.lit(i)), F.lit(20))
+        own = F.when(F.col("y") == 1, F.lit("good")).otherwise(F.lit("bad"))
+        opp = F.when(F.col("y") == 1, F.lit("bad")).otherwise(F.lit("good"))
+        toks.append(
+            F.when(r < 8, F.concat(own, r.cast("string")))
+            .when(r < 16, F.element_at(neut, (r - 7).cast("int")))
+            .otherwise(F.concat(opp, (r - 16).cast("string"))))
+    text = F.array_join(F.slice(F.array(*toks), 1, F.col("_ln")), " ")
+    return base.select("doc_id", "y", text.alias("text"))
+
+
+def q_logreg_train_generated(spark, sf_dir):
+    """Distributed training of the fastText-role quality classifier
+    (full-batch GD, model-as-DataFrame, broadcast weights, deterministic
+    sorted-fold reductions) — the whole 6-iteration loop must reproduce
+    the sequential reference bit-for-bit at 6 decimals."""
+    from .operators.logreg import logreg_train
+    docs = _lr_docs_df(spark)
+    model = logreg_train(docs, "text", "y", "doc_id", n_buckets=_LR_B,
+                         n_iter=_LR_ITER, lr=_LR_LR, l2=_LR_L2)
+    return model.select(F.col("f").cast("long").alias("f"),
+                        F.round("w", 6).alias("w"))
+
+
+def q_logreg_predict_generated(spark, sf_dir):
+    """Join-based scoring under the in-Spark-trained model: σ(b + Σ w·x)
+    per document, 100% JVM-side, plus the keep/drop decision at 0.5."""
+    from .operators.logreg import logreg_predict, logreg_train
+    docs = _lr_docs_df(spark)
+    model = logreg_train(docs, "text", "y", "doc_id", n_buckets=_LR_B,
+                         n_iter=_LR_ITER, lr=_LR_LR, l2=_LR_L2)
+    out = logreg_predict(docs, "text", "doc_id", model, n_buckets=_LR_B)
+    return (docs.select(F.col("doc_id"), F.col("y").cast("int").alias("y"))
+            .join(out.withColumnRenamed("id", "doc_id"), "doc_id")
+            .select("doc_id", F.round("score", 6).alias("score"),
+                    (F.col("score") >= 0.5).cast("int").alias("pred"),
+                    "y"))
+
+
+_LR_REF_CACHE = {}
+
+
+def _py_logreg_reference():
+    """Independent sequential logistic regression (dict-based, zero code
+    shared with operators/logreg.py) over the mirrored generated corpus
+    — arithmetic order matches the Spark plan's deterministic choices:
+    f-sorted margin folds, id-sorted gradient folds, mean-gradient
+    update ``w − lr·(g/N + l2·w)``, HALF_UP rounding."""
+    if _LR_REF_CACHE:
+        return _LR_REF_CACHE["ref"]
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from .functions.xxh import spark_xxhash64_string as _H
+
+    docs = []
+    for d in range(_LR_N):
+        sid = f"d{d:03d}"
+        y = _H(sid, 999) % 2
+        ln = 5 + _H(sid, 998) % 20
+        words = []
+        for i in range(ln):
+            r = _H(sid, i) % 20
+            if r < 8:
+                words.append(("good" if y == 1 else "bad") + str(r))
+            elif r < 16:
+                words.append(_LR_NEUTRAL[r - 8])
+            else:
+                words.append(("bad" if y == 1 else "good") + str(r - 16))
+        docs.append((d, float(y), words))
+
+    feats = {}
+    for d, _, words in docs:
+        cnt = {}
+        for t in words:
+            f = _H(t) % _LR_B
+            cnt[f] = cnt.get(f, 0) + 1
+        feats[d] = {f: c / len(words) for f, c in cnt.items()}
+    ys = {d: y for d, y, _ in docs}
+    n = float(len(docs))
+    w = {f: 0.0 for m in feats.values() for f in m}
+    b = 0.0
+
+    def margin(d):
+        m = 0.0
+        for f in sorted(feats.get(d, ())):
+            m += w[f] * feats[d][f]
+        return m
+
+    for _ in range(_LR_ITER):
+        resid = {d: 1.0 / (1.0 + math.exp(-(margin(d) + b))) - ys[d]
+                 for d in ys}
+        gb = 0.0
+        for d in sorted(resid):
+            gb += resid[d]
+        gb /= n
+        new_w = {}
+        for f in w:
+            g = 0.0
+            for d in sorted(feats):
+                if f in feats[d]:
+                    g += resid[d] * feats[d][f]
+            new_w[f] = w[f] - _LR_LR * (g / n + _LR_L2 * w[f])
+        w = new_w
+        b = b - _LR_LR * gb
+
+    def r6(v):
+        return float(Decimal(v).quantize(Decimal("0.000001"),
+                                         rounding=ROUND_HALF_UP))
+
+    weights = sorted([(f, r6(v)) for f, v in w.items()] + [(-1, r6(b))])
+    preds = []
+    for d in sorted(ys):
+        s = 1.0 / (1.0 + math.exp(-(margin(d) + b)))
+        preds.append((d, r6(s), int(s >= 0.5), int(ys[d])))
+    _LR_REF_CACHE["ref"] = (weights, preds)
+    return _LR_REF_CACHE["ref"]
+
+
+def _sql_logreg_train() -> str:
+    weights, _ = _py_logreg_reference()
+    values = ",\n".join(f"({f}, {v!r})" for f, v in weights)
+    return (f"SELECT CAST(f AS BIGINT) AS f, CAST(w AS DOUBLE) AS w\n"
+            f"FROM (VALUES\n{values}\n) AS t(f, w)")
+
+
+def _sql_logreg_predict() -> str:
+    _, preds = _py_logreg_reference()
+    values = ",\n".join(f"({d}, {s!r}, {p}, {y})" for d, s, p, y in preds)
+    return (f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            f"CAST(score AS DOUBLE) AS score, "
+            f"CAST(pred AS INTEGER) AS pred, CAST(y AS INTEGER) AS y\n"
+            f"FROM (VALUES\n{values}\n) AS t(doc_id, score, pred, y)")
+
+
 _XXH_CONVS = 60
 _XXH_CLONE_OFFSET = 10_000_000
 
@@ -4144,6 +4304,10 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "ccnet_buckets_documents": (q_ccnet_buckets_documents,
                                 _sql_ccnet_buckets()),
     "pq_topk_generated": (q_pq_topk_generated, _sql_pq_topk()),
+    "logreg_train_generated": (q_logreg_train_generated,
+                               _sql_logreg_train()),
+    "logreg_predict_generated": (q_logreg_predict_generated,
+                                 _sql_logreg_predict()),
     "incremental_line_dedup": (q_incremental_line_dedup,
                                SQL_INCREMENTAL_LINE_DEDUP),
     "mixing_rates_documents": (q_mixing_rates_documents,
@@ -4213,6 +4377,8 @@ _NEVER_CERTIFIED = [
     "pq_topk_generated",
     "incremental_line_dedup",
     "kneser_ney_documents",
+    "logreg_train_generated",
+    "logreg_predict_generated",
 ]
 
 
