@@ -575,6 +575,47 @@ def dedup_clusters(df: DataFrame, text_col: str, id_col: str,
     return connected_components(verified.select("id_a", "id_b"))
 
 
+def cluster_representatives(df: DataFrame, id_col: str,
+                            components: DataFrame,
+                            quality=None) -> DataFrame:
+    """Per-cluster representative election — the step that turns a
+    near-dup clustering into a KEEP/DROP decision that keeps the BEST
+    copy, not an arbitrary one (the reference's scan surface scores rows;
+    this is the dedup analog: score, then keep the top-scoring member of
+    every duplicate cluster).
+
+    ``components`` is a :func:`connected_components` / `dedup_clusters`
+    output (id, component); documents absent from it are singletons
+    (their own representative).  ``quality`` is a Column or column name
+    evaluated against ``df`` (default: constant — min-id wins, matching
+    `dedup_clusters`' keep rule).  Representative = max quality, ties
+    broken by min id, elected with a map-side-combinable
+    ``min(struct(-quality, id))`` — no window, no per-cluster arrays.
+
+    Returns (id, component, cluster_size, rep_id, keep).  Scale shape:
+    only (id, component, quality) longs+double ride the two shuffles
+    (label join by id, election by component); payload text never moves.
+    """
+    if quality is None:
+        q = F.lit(0.0)
+    elif isinstance(quality, str):
+        q = F.col(quality).cast("double")
+    else:
+        q = quality.cast("double")
+    ids = df.select(F.col(id_col).alias("id"), q.alias("_q"))
+    lab = (ids.join(components, "id", "left")
+           .select("id", F.coalesce("component", "id").alias("component"),
+                   "_q"))
+    stats = (lab.groupBy("component")
+             .agg(F.count(F.lit(1)).alias("cluster_size"),
+                  F.min(F.struct((F.col("_q") * -1).alias("nq"),
+                                 F.col("id").alias("id"))).alias("_best")))
+    return (lab.join(stats, "component")
+            .select("id", "component", "cluster_size",
+                    F.col("_best.id").alias("rep_id"),
+                    (F.col("id") == F.col("_best.id")).alias("keep")))
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

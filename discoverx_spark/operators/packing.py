@@ -75,3 +75,30 @@ def top_tokens(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
     token asc)."""
     return (token_counts(df, text_col)
             .orderBy(F.desc("count"), F.asc("token")).limit(k))
+
+
+def zipf_stats(df: DataFrame, text_col: str,
+               top_ranks: int = 1000) -> DataFrame:
+    """One-row corpus health check: token/type totals and the Zipf
+    log-log slope over the head of the rank-frequency curve (natural
+    text sits near −1; templated or machine-generated corpora drift
+    hard — a cheap first-look diagnostic before heavier quality gates).
+
+    ``zipf_slope = regr_slope(ln cnt, ln rank)`` over the ``top_ranks``
+    most frequent tokens with the deterministic (count desc, token asc)
+    ranking.  Scale shape: one vocabulary-bounded groupBy, then a
+    TakeOrdered-sized head (``top_ranks`` rows) feeds the single-row
+    regression — the corpus itself is scanned once."""
+    counts = token_counts(df, text_col)
+    totals = counts.agg(F.sum("count").alias("n_tokens"),
+                        F.count(F.lit(1)).alias("n_types"))
+    head = (counts.orderBy(F.desc("count"), F.asc("token"))
+            .limit(top_ranks)
+            .withColumn("rank", F.row_number().over(
+                Window.partitionBy().orderBy(F.desc("count"),
+                                             F.asc("token")))))
+    slope = head.agg(
+        F.round(F.regr_slope(F.log("count"), F.log("rank")), 6)
+        .alias("zipf_slope"),
+        F.count(F.lit(1)).cast("int").alias("ranks_used"))
+    return totals.crossJoin(slope)

@@ -185,3 +185,37 @@ def mixing_rates(df: DataFrame, group_col: str,
                              / F.col("n_units"), 6).alias("rate"),
                      F.round(F.col("target_share") * t, 6)
                      .alias("sampled_units")))
+
+
+def temperature_mix(df: DataFrame, group_col: str, temperature: float,
+                    weight: Optional[Column] = None) -> DataFrame:
+    """Temperature-scaled sampling shares: ``p_d ∝ n_d^(1/τ)`` — the
+    mT5 / XLM-R multilingual mixing scheme (Xue et al. 2021 §3.2;
+    Conneau et al. 2020 §3), where τ > 1 upsamples the tail domains and
+    τ = 1 recovers proportional-to-size sampling.  Unlike
+    :func:`mixing_rates` (explicit target shares in), here the targets
+    are DERIVED from the observed sizes.
+
+    Returns ``(group, n_units, raw_share, temp_share, boost)`` with
+    ``boost = temp_share / raw_share`` (the up/down-sampling factor a
+    sampler must realize).  Feed the resulting shares to
+    :func:`mixing_rates` to get feasible keep-rates.
+
+    Scale shape: one groupBy of partial sums (domain-count-sized
+    output) + one single-partition window over that tiny frame."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    w = weight if weight is not None else F.lit(1)
+    stats = (df.groupBy(group_col)
+             .agg(F.sum(w).cast("long").alias("n_units")))
+    from pyspark.sql.window import Window
+    win = Window.partitionBy()
+    tot = F.sum("n_units").over(win)
+    p = F.pow(F.col("n_units").cast("double"), F.lit(1.0 / temperature))
+    tot_p = F.sum(p).over(win)
+    raw = F.col("n_units") / tot
+    temp = p / tot_p
+    return stats.select(group_col, "n_units",
+                        F.round(raw, 6).alias("raw_share"),
+                        F.round(temp, 6).alias("temp_share"),
+                        F.round(temp / raw, 6).alias("boost"))

@@ -3730,6 +3730,120 @@ FROM j, t
 """
 
 
+_TEMP_TAU = 2.0
+
+
+def q_temperature_mix_documents(spark, sf_dir):
+    """Temperature-scaled mixing shares p_d ∝ n_d^(1/τ) at τ=2 by token
+    count — the mT5/XLM-R multilingual upsampling scheme, derived from
+    observed sizes (no explicit targets)."""
+    from .operators.sampling import temperature_mix
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mix(docs, "source", temperature=_TEMP_TAU,
+                           weight=token_count_expr("text"))
+
+
+def _sql_temperature_mix() -> str:
+    inv = repr(1.0 / _TEMP_TAU)
+    return rf"""
+WITH stats AS (
+  SELECT source,
+         CAST(SUM(len(regexp_extract_all(text, '(\S+)', 1))) AS BIGINT)
+           AS n_units
+  FROM documents GROUP BY source),
+t AS (SELECT SUM(n_units) AS tot,
+             SUM(pow(CAST(n_units AS DOUBLE), {inv})) AS tot_p
+      FROM stats)
+SELECT source, n_units,
+       round(n_units / tot, 6) AS raw_share,
+       round(pow(CAST(n_units AS DOUBLE), {inv}) / tot_p, 6) AS temp_share,
+       round((pow(CAST(n_units AS DOUBLE), {inv}) / tot_p)
+             / (n_units / tot), 6) AS boost
+FROM stats, t
+"""
+
+
+def q_zipf_stats_documents(spark, sf_dir):
+    """One-row corpus diagnostic: token/type totals + Zipf log-log slope
+    over the top-1000 rank-frequency head (deterministic ranking)."""
+    from .operators.packing import zipf_stats
+    docs = _t(spark, sf_dir, "documents").repartition(32)
+    return zipf_stats(docs, "text", top_ranks=1000)
+
+
+def _sql_zipf_stats() -> str:
+    return r"""
+WITH counts AS (
+  SELECT token, COUNT(*) AS cnt
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '(\S+)', 1)) AS token
+        FROM documents)
+  GROUP BY token),
+totals AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                  CAST(COUNT(*) AS BIGINT) AS n_types FROM counts),
+head AS (SELECT cnt,
+                row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+         FROM counts ORDER BY cnt DESC, token ASC LIMIT 1000),
+slope AS (SELECT round(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
+                 CAST(COUNT(*) AS INTEGER) AS ranks_used FROM head)
+SELECT n_tokens, n_types, zipf_slope, ranks_used FROM totals, slope
+"""
+
+
+def q_cluster_reps_documents(spark, sf_dir):
+    """Near-dup cluster representative election in composition: LSH
+    candidate pairs (md5 oracle family, exhaustive buckets) → connected
+    components → keep the longest member of each cluster (ties: min id).
+    The keep/drop column is what a dedup pass would apply."""
+    from .operators.dedup import (cluster_representatives,
+                                  connected_components,
+                                  lsh_candidate_pairs, minhash_signatures)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text") \
+        .repartition(32)
+    both = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    sigs = minhash_signatures(both, "text", "doc_id", k=_MH_K, shingle_n=3,
+                              hash_mode="md5")
+    pairs = lsh_candidate_pairs(sigs, bands=4, k=_MH_K, max_bucket=None)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    reps = cluster_representatives(both, "doc_id", comp,
+                                   quality=F.length("text"))
+    return reps.select(F.col("id").alias("doc_id"), "component",
+                       F.col("cluster_size").cast("int")
+                       .alias("cluster_size"),
+                       "rep_id", F.col("keep").cast("int").alias("keep"))
+
+
+def _sql_cluster_reps() -> str:
+    # transitive closure of the SAME candidate-pair graph the certified
+    # minhash_lsh_pairs oracle produces, via a recursive min-label CTE
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_minhash_lsh_pairs()}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+alldocs AS (SELECT doc_id, len(text) AS q FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, len(text) FROM documents),
+lab AS (SELECT d.doc_id AS id, COALESCE(c.component, d.doc_id) AS component,
+               d.q
+        FROM alldocs d LEFT JOIN comp c ON c.id = d.doc_id),
+sel AS (SELECT id, component,
+               COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+               FIRST_VALUE(id) OVER (
+                 PARTITION BY component ORDER BY q DESC, id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS rep_id
+        FROM lab)
+SELECT id AS doc_id, component, CAST(cluster_size AS INTEGER) AS cluster_size,
+       rep_id, CAST(id = rep_id AS INTEGER) AS keep
+FROM sel
+"""
+
+
 _CG_CONVS = 80
 
 
@@ -4310,6 +4424,11 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
                                  _sql_logreg_predict()),
     "incremental_line_dedup": (q_incremental_line_dedup,
                                SQL_INCREMENTAL_LINE_DEDUP),
+    "temperature_mix_documents": (q_temperature_mix_documents,
+                                  _sql_temperature_mix()),
+    "zipf_stats_documents": (q_zipf_stats_documents, _sql_zipf_stats()),
+    "cluster_reps_documents": (q_cluster_reps_documents,
+                               _sql_cluster_reps()),
     "mixing_rates_documents": (q_mixing_rates_documents,
                                _sql_mixing_rates()),
     "incremental_exact_dedup": (q_incremental_exact_dedup,
@@ -4379,6 +4498,9 @@ _NEVER_CERTIFIED = [
     "kneser_ney_documents",
     "logreg_train_generated",
     "logreg_predict_generated",
+    "temperature_mix_documents",
+    "zipf_stats_documents",
+    "cluster_reps_documents",
 ]
 
 

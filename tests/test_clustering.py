@@ -96,3 +96,36 @@ def test_ivf_train_high_dim_bounded_plan(spark):
     for cid, vec in m.items():
         blocks = vec.reshape(4, dim // 4).mean(axis=1)
         assert blocks.max() > 0.8 and sorted(blocks)[-2] < 0.2
+
+
+def test_cluster_representatives_quality_and_singletons(spark):
+    from discoverx_spark.operators.dedup import cluster_representatives
+    from pyspark.sql import functions as F
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "the longest text wins"), (3, "mid text"),
+         (4, "singleton doc"), (5, "tie a"), (6, "tie b")],
+        "doc_id long, text string")
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)], "id long, component long")
+    out = {r["id"]: r for r in cluster_representatives(
+        docs, "doc_id", comp, quality=F.length("text")).collect()}
+    # longest member elected in cluster 1
+    assert out[2]["keep"] and not out[1]["keep"] and not out[3]["keep"]
+    assert all(out[i]["rep_id"] == 2 for i in (1, 2, 3))
+    assert out[1]["cluster_size"] == 3
+    # doc 4 absent from components -> its own singleton representative
+    assert out[4]["keep"] and out[4]["component"] == 4 \
+        and out[4]["cluster_size"] == 1
+    # equal quality ("tie a"/"tie b" same length) -> min id wins
+    assert out[5]["keep"] and not out[6]["keep"]
+
+
+def test_cluster_representatives_default_min_id(spark):
+    from discoverx_spark.operators.dedup import cluster_representatives
+    docs = spark.createDataFrame(
+        [(7, "x"), (8, "yyyy"), (9, "zz")], "doc_id long, text string")
+    comp = spark.createDataFrame(
+        [(7, 7), (8, 7), (9, 7)], "id long, component long")
+    out = {r["id"]: r for r in
+           cluster_representatives(docs, "doc_id", comp).collect()}
+    assert out[7]["keep"] and not out[8]["keep"] and not out[9]["keep"]

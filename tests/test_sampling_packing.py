@@ -187,3 +187,68 @@ def test_mixing_rates_binding_domain(spark):
     assert out["web"]["sampled_units"] == 40.0
     assert out["code"]["sampled_units"] == 20.0
     assert out["books"]["sampled_units"] == 20.0
+
+
+def test_temperature_mix_tau1_recovers_proportional(spark):
+    import pytest
+    from discoverx_spark.operators.sampling import temperature_mix
+    rows = ([("web", i) for i in range(90)]
+            + [("code", i) for i in range(9)]
+            + [("books", i) for i in range(1)])
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    out = {r["source"]: r for r in
+           temperature_mix(df, "source", temperature=1.0).collect()}
+    for src in ("web", "code", "books"):
+        assert out[src]["temp_share"] == out[src]["raw_share"]
+        assert out[src]["boost"] == 1.0
+    # tau=2: tail upsampled, head downsampled, shares still sum to 1
+    out2 = {r["source"]: r for r in
+            temperature_mix(df, "source", temperature=2.0).collect()}
+    assert out2["books"]["boost"] > 1.0
+    assert out2["web"]["boost"] < 1.0
+    assert abs(sum(r["temp_share"] for r in out2.values()) - 1.0) < 1e-4
+    # sqrt formula spot check: p_d ∝ sqrt(n_d)
+    import math
+    denom = math.sqrt(90) + math.sqrt(9) + math.sqrt(1)
+    assert out2["code"]["temp_share"] == round(3 / denom, 6)
+    with pytest.raises(ValueError):
+        temperature_mix(df, "source", temperature=0.0)
+
+
+def test_temperature_mix_weighted(spark):
+    from discoverx_spark.operators.sampling import temperature_mix
+    from pyspark.sql import functions as F
+    rows = [("a", 10), ("a", 30), ("b", 40)]
+    df = spark.createDataFrame(rows, "source string, n_tok int")
+    out = {r["source"]: r for r in
+           temperature_mix(df, "source", temperature=1.0,
+                           weight=F.col("n_tok")).collect()}
+    assert out["a"]["n_units"] == 40 and out["b"]["n_units"] == 40
+    assert out["a"]["raw_share"] == 0.5
+
+
+def test_zipf_stats_known_slope(spark):
+    """An exact power-law corpus (cnt = C / rank) must regress to -1."""
+    from discoverx_spark.operators.packing import zipf_stats
+    # token t{r} appears exactly 60//r times -> cnt = 60/rank
+    rows = []
+    did = 0
+    for r in (1, 2, 3, 4, 5, 6):
+        for _ in range(60 // r):
+            rows.append((did, f"t{r}"))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    row = zipf_stats(df, "text", top_ranks=6).collect()[0]
+    assert row["n_tokens"] == sum(60 // r for r in (1, 2, 3, 4, 5, 6))
+    assert row["n_types"] == 6
+    assert row["ranks_used"] == 6
+    assert abs(row["zipf_slope"] - (-1.0)) < 1e-6
+
+
+def test_zipf_stats_fewer_types_than_ranks(spark):
+    from discoverx_spark.operators.packing import zipf_stats
+    df = spark.createDataFrame(
+        [(1, "a a a b")], "doc_id long, text string")
+    row = zipf_stats(df, "text", top_ranks=1000).collect()[0]
+    assert row["n_types"] == 2 and row["ranks_used"] == 2
+    assert row["n_tokens"] == 4
