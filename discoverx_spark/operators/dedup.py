@@ -589,13 +589,16 @@ def cluster_representatives(df: DataFrame, id_col: str,
     (their own representative).  ``quality`` is a Column or column name
     evaluated against ``df`` (default: constant — min-id wins, matching
     `dedup_clusters`' keep rule).  Representative = max quality, ties
-    broken by min id, elected with a map-side-combinable
-    ``min(struct(-quality, id))`` — no window, no per-cluster arrays.
+    broken by min id, elected with ``min(struct(-quality, id))`` as a
+    whole-partition window aggregate over ``component`` — ONE shuffle of
+    (id, component, quality) longs+double, no self-join, no per-cluster
+    arrays; payload text never moves.  Skew note: a pathological
+    all-duplicates corpus puts one cluster on one task — members are
+    24-byte rows, so even a 10^8-member cluster is ~2.4 GB; cap upstream
+    candidate generation (as `lsh_candidate_pairs` does) long before.
 
-    Returns (id, component, cluster_size, rep_id, keep).  Scale shape:
-    only (id, component, quality) longs+double ride the two shuffles
-    (label join by id, election by component); payload text never moves.
-    """
+    Returns (id, component, cluster_size, rep_id, keep)."""
+    from pyspark.sql.window import Window
     if quality is None:
         q = F.lit(0.0)
     elif isinstance(quality, str):
@@ -606,14 +609,13 @@ def cluster_representatives(df: DataFrame, id_col: str,
     lab = (ids.join(components, "id", "left")
            .select("id", F.coalesce("component", "id").alias("component"),
                    "_q"))
-    stats = (lab.groupBy("component")
-             .agg(F.count(F.lit(1)).alias("cluster_size"),
-                  F.min(F.struct((F.col("_q") * -1).alias("nq"),
-                                 F.col("id").alias("id"))).alias("_best")))
-    return (lab.join(stats, "component")
-            .select("id", "component", "cluster_size",
-                    F.col("_best.id").alias("rep_id"),
-                    (F.col("id") == F.col("_best.id")).alias("keep")))
+    win = Window.partitionBy("component")
+    best = F.min(F.struct((F.col("_q") * -1).alias("nq"),
+                          F.col("id").alias("id"))).over(win)
+    return (lab.select("id", "component",
+                       F.count(F.lit(1)).over(win).alias("cluster_size"),
+                       best.getField("id").alias("rep_id"))
+            .withColumn("keep", F.col("id") == F.col("rep_id")))
 
 
 # --------------------------------------------------------------------------

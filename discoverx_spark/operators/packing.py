@@ -88,8 +88,10 @@ def zipf_stats(df: DataFrame, text_col: str,
     most frequent tokens with the deterministic (count desc, token asc)
     ranking.  Scale shape: one vocabulary-bounded groupBy, then a
     TakeOrdered-sized head (``top_ranks`` rows) feeds the single-row
-    regression — the corpus itself is scanned once."""
-    counts = token_counts(df, text_col)
+    regression — the corpus itself is scanned once (the counts frame is
+    lazily ``localCheckpoint``-ed so the totals branch and the head
+    branch share one computed shuffle instead of re-scanning)."""
+    counts = token_counts(df, text_col).localCheckpoint(eager=False)
     totals = counts.agg(F.sum("count").alias("n_tokens"),
                         F.count(F.lit(1)).alias("n_types"))
     head = (counts.orderBy(F.desc("count"), F.asc("token"))

@@ -3797,10 +3797,10 @@ def q_cluster_reps_documents(spark, sf_dir):
     from .operators.dedup import (cluster_representatives,
                                   connected_components,
                                   lsh_candidate_pairs, minhash_signatures)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text") \
-        .repartition(32)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     both = docs.unionByName(
-        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")) \
+        .repartition(32)
     sigs = minhash_signatures(both, "text", "doc_id", k=_MH_K, shingle_n=3,
                               hash_mode="md5")
     pairs = lsh_candidate_pairs(sigs, bands=4, k=_MH_K, max_bucket=None)
