@@ -3844,6 +3844,153 @@ FROM sel
 """
 
 
+# evaluation suite: pseudo-label = "document has >= 40 whitespace tokens"
+# (a deterministic stand-in for reference keep/drop labels, partially
+# correlated with the classifier score so every confusion cell is hit)
+_EVAL_LABEL_MIN_TOKENS = 40
+
+
+def _eval_label_col():
+    return token_count_expr("text") >= _EVAL_LABEL_MIN_TOKENS
+
+
+def _eval_score_col():
+    return F.round(quality_classifier_expr("text"), 6)
+
+
+_EVAL_LABEL_SQL = (r"(len(regexp_extract_all(text, '(\S+)', 1)) >= "
+                   f"{_EVAL_LABEL_MIN_TOKENS})")
+
+
+def _eval_score_sql() -> str:
+    return f"round({quality_classifier_sql('text')}, 6)"
+
+
+def q_classifier_eval_documents(spark, sf_dir):
+    """The north-rule gate as a distributed operator: confusion matrix +
+    accuracy/precision/recall/F1 of the quality classifier's keep/drop
+    against deterministic pseudo-labels, in ONE aggregate (four longs
+    cross the single exchange)."""
+    from .operators.eval import binary_classification_report
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(_eval_label_col().alias("label"),
+                         (_eval_score_col() >= 0.5).alias("pred"))
+    return binary_classification_report(scored, "label", "pred")
+
+
+def _sql_classifier_eval() -> str:
+    return f"""
+WITH s AS (
+  SELECT {_EVAL_LABEL_SQL} AS label, ({_eval_score_sql()} >= 0.5) AS pred
+  FROM documents),
+c AS (SELECT
+  CAST(SUM(CASE WHEN label AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CAST(SUM(CASE WHEN NOT label AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+  CAST(SUM(CASE WHEN label AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+  CAST(SUM(CASE WHEN NOT label AND NOT pred THEN 1 ELSE 0 END) AS BIGINT)
+    AS tn
+  FROM s)
+SELECT tp, fp, fn, tn,
+  round(CASE WHEN tp+fp+fn+tn > 0
+             THEN CAST(tp+tn AS DOUBLE)/(tp+fp+fn+tn) ELSE 0.0 END, 6)
+    AS accuracy,
+  round(CASE WHEN tp+fp > 0 THEN CAST(tp AS DOUBLE)/(tp+fp) ELSE 0.0 END, 6)
+    AS precision,
+  round(CASE WHEN tp+fn > 0 THEN CAST(tp AS DOUBLE)/(tp+fn) ELSE 0.0 END, 6)
+    AS recall,
+  round(CASE WHEN 2*tp+fp+fn > 0
+             THEN CAST(2*tp AS DOUBLE)/(2*tp+fp+fn) ELSE 0.0 END, 6) AS f1
+FROM c
+"""
+
+
+def q_auc_documents(spark, sf_dir):
+    """Exact Mann-Whitney ROC AUC of the (quantized) classifier score
+    against the pseudo-labels — distinct-score groupBy + running-sum
+    window over the bounded score vocabulary."""
+    from .operators.eval import binary_auc
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(_eval_label_col().alias("y"),
+                         _eval_score_col().alias("s"))
+    return binary_auc(scored, "y", "s")
+
+
+def _sql_auc() -> str:
+    return f"""
+WITH scored AS (
+  SELECT {_eval_score_sql()} AS score, {_EVAL_LABEL_SQL} AS y
+  FROM documents),
+per AS (
+  SELECT score,
+         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+  FROM scored GROUP BY score),
+w AS (
+  SELECT pos, neg,
+         COALESCE(SUM(neg) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS neg_below
+  FROM per),
+t AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(neg) AS BIGINT) AS n_neg,
+             CAST(SUM(pos * neg_below) AS DOUBLE) AS conc,
+             CAST(SUM(pos * neg) AS DOUBLE) AS ties
+      FROM w)
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round((conc + 0.5 * ties)
+                       / CAST(n_pos * n_neg AS DOUBLE), 6) END AS auc
+FROM t
+"""
+
+
+def q_calibration_documents(spark, sf_dir):
+    """Reliability-diagram bins of the classifier probability vs the
+    pseudo-labels: 10 bins, (bin, n, mean_score, frac_pos)."""
+    from .operators.eval import calibration_bins
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(_eval_label_col().alias("y"),
+                         _eval_score_col().alias("s"))
+    out = calibration_bins(scored, "y", "s", n_bins=10)
+    return out.select("bin", F.col("n").cast("long").alias("n"),
+                      "mean_score", "frac_pos")
+
+
+def _sql_calibration() -> str:
+    return f"""
+WITH scored AS (
+  SELECT {_eval_score_sql()} AS score, {_EVAL_LABEL_SQL} AS y
+  FROM documents)
+SELECT CAST(least(floor(score * 10), 9) AS INTEGER) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(AVG(score), 6) AS mean_score,
+       round(AVG(CASE WHEN y THEN 1.0 ELSE 0.0 END), 6) AS frac_pos
+FROM scored GROUP BY 1
+"""
+
+
+def q_score_normalize_documents(spark, sf_dir):
+    """Per-source percent_rank calibration of the classifier score
+    (CCNet-style within-domain ranking); ties share a rank so the output
+    is partitioning-independent."""
+    from .operators.eval import normalize_scores
+    docs = _t(spark, sf_dir, "documents")
+    proj = docs.select("doc_id", "source", _eval_score_col().alias("q"))
+    return normalize_scores(proj, "source", "q", "doc_id")
+
+
+def _sql_score_normalize() -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id AS id, source AS "group", {_eval_score_sql()} AS score
+  FROM documents)
+SELECT id, "group", score,
+       round(percent_rank() OVER (PARTITION BY "group" ORDER BY score), 6)
+         AS score_pct
+FROM s
+"""
+
+
 _CG_CONVS = 80
 
 
@@ -4429,6 +4576,12 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "zipf_stats_documents": (q_zipf_stats_documents, _sql_zipf_stats()),
     "cluster_reps_documents": (q_cluster_reps_documents,
                                _sql_cluster_reps()),
+    "classifier_eval_documents": (q_classifier_eval_documents,
+                                  _sql_classifier_eval()),
+    "auc_documents": (q_auc_documents, _sql_auc()),
+    "calibration_documents": (q_calibration_documents, _sql_calibration()),
+    "score_normalize_documents": (q_score_normalize_documents,
+                                  _sql_score_normalize()),
     "mixing_rates_documents": (q_mixing_rates_documents,
                                _sql_mixing_rates()),
     "incremental_exact_dedup": (q_incremental_exact_dedup,
@@ -4501,6 +4654,10 @@ _NEVER_CERTIFIED = [
     "temperature_mix_documents",
     "zipf_stats_documents",
     "cluster_reps_documents",
+    "classifier_eval_documents",
+    "auc_documents",
+    "calibration_documents",
+    "score_normalize_documents",
 ]
 
 
