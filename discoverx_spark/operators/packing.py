@@ -104,3 +104,51 @@ def zipf_stats(df: DataFrame, text_col: str,
         .alias("zipf_slope"),
         F.count(F.lit(1)).cast("int").alias("ranks_used"))
     return totals.crossJoin(slope)
+
+
+def domain_divergence(df: DataFrame, group_col: str,
+                      text_col: str) -> DataFrame:
+    """Per-domain unigram distribution drift vs the whole corpus:
+    (group, n_tokens, n_types, kl_vs_corpus, js_vs_corpus), nats.
+
+    ``kl_vs_corpus = KL(P_g ‖ Q)`` needs no smoothing (every group token
+    exists in the corpus, so q > 0 wherever p > 0).  The Jensen-Shannon
+    term is computed WITHOUT materializing the |groups| × |vocab| cross
+    frame: tokens absent from a group contribute exactly
+    ``q·ln(2q/(0+q)) = q·ln 2``, so
+    ``JS = ½·Σ_{t∈g}[p·ln(2p/(p+q)) + q·ln(2q/(p+q))]
+         + ½·(1 − Σ_{t∈g} q)·ln 2`` — only (group, token) rows that
+    actually occur are ever created.
+
+    Scale shape: one (group, token) groupBy (map-side combined), a
+    vocabulary-bounded corpus rollup, broadcast joins for the G-row
+    group totals and the 1-row corpus total, and a G-bounded final
+    aggregate.  The (group, token) counts frame is lazily checkpointed
+    so its three consumers share one computed shuffle."""
+    from pyspark.sql.functions import broadcast
+    gt = df.select(F.col(group_col).alias("group"),
+                   F.explode(tokens_sql_expr(text_col)).alias("token"))
+    gcnt = (gt.groupBy("group", "token")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=False))
+    corpus = gcnt.groupBy("token").agg(F.sum("c").alias("cc"))
+    totals = gcnt.groupBy("group").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"))
+    t_row = gcnt.agg(F.sum("c").cast("double").alias("t"))
+    j = (gcnt.join(corpus, "token")
+         .join(broadcast(totals), "group")
+         .crossJoin(broadcast(t_row)))
+    p = F.col("c") / F.col("n_tokens").cast("double")
+    q = F.col("cc") / F.col("t")
+    kl_term = p * F.log(p / q)
+    js_term = 0.5 * (p * F.log(2 * p / (p + q))
+                     + q * F.log(2 * q / (p + q)))
+    ln2 = float(__import__("math").log(2.0))
+    return (j.groupBy("group")
+            .agg(F.max("n_tokens").alias("n_tokens"),
+                 F.max("n_types").alias("n_types"),
+                 F.round(F.sum(kl_term), 6).alias("kl_vs_corpus"),
+                 F.round(F.sum(js_term)
+                         + 0.5 * (1.0 - F.sum(q)) * ln2, 6)
+                 .alias("js_vs_corpus")))

@@ -3844,6 +3844,43 @@ FROM sel
 """
 
 
+def q_domain_divergence_documents(spark, sf_dir):
+    """Per-source unigram KL / Jensen-Shannon divergence vs the corpus
+    distribution — the drift diagnostic behind mixture rebalancing
+    (which domains are outliers and by how much, in nats)."""
+    from .operators.packing import domain_divergence
+    docs = _t(spark, sf_dir, "documents").repartition(32)
+    return domain_divergence(docs, "source", "text")
+
+
+def _sql_domain_divergence() -> str:
+    return r"""
+WITH gt AS (
+  SELECT source AS "group",
+         unnest(regexp_extract_all(lower(text), '(\S+)', 1)) AS token
+  FROM documents),
+gcnt AS (SELECT "group", token, COUNT(*) AS c FROM gt GROUP BY 1, 2),
+corpus AS (SELECT token, SUM(c) AS cc FROM gcnt GROUP BY token),
+totals AS (SELECT "group", CAST(SUM(c) AS BIGINT) AS n_tokens,
+                  CAST(COUNT(*) AS BIGINT) AS n_types
+           FROM gcnt GROUP BY 1),
+t AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM gcnt),
+j AS (
+  SELECT g."group", totals.n_tokens, totals.n_types,
+         g.c / CAST(totals.n_tokens AS DOUBLE) AS p,
+         corpus.cc / t.t AS q
+  FROM gcnt g
+  JOIN corpus USING (token)
+  JOIN totals USING ("group"), t)
+SELECT "group", MAX(n_tokens) AS n_tokens, MAX(n_types) AS n_types,
+       round(SUM(p * ln(p / q)), 6) AS kl_vs_corpus,
+       round(SUM(0.5 * (p * ln(2 * p / (p + q))
+                        + q * ln(2 * q / (p + q))))
+             + 0.5 * (1 - SUM(q)) * ln(2), 6) AS js_vs_corpus
+FROM j GROUP BY "group"
+"""
+
+
 # evaluation suite: pseudo-label = "document has >= 40 whitespace tokens"
 # (a deterministic stand-in for reference keep/drop labels, partially
 # correlated with the classifier score so every confusion cell is hit)
@@ -4582,6 +4619,8 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "calibration_documents": (q_calibration_documents, _sql_calibration()),
     "score_normalize_documents": (q_score_normalize_documents,
                                   _sql_score_normalize()),
+    "domain_divergence_documents": (q_domain_divergence_documents,
+                                    _sql_domain_divergence()),
     "mixing_rates_documents": (q_mixing_rates_documents,
                                _sql_mixing_rates()),
     "incremental_exact_dedup": (q_incremental_exact_dedup,
@@ -4658,6 +4697,7 @@ _NEVER_CERTIFIED = [
     "auc_documents",
     "calibration_documents",
     "score_normalize_documents",
+    "domain_divergence_documents",
 ]
 
 

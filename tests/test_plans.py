@@ -231,6 +231,11 @@ def test_registry_wide_plan_budgets(spark):
         # fold groupBy, restore join) + two DSIR histograms + doc-bucket
         # groupBy + fold + top-k rank window + two broadcast joins back
         "curation_pipeline_v2": 20,
+        # input repartition + (group,token) groupBy feed a checkpointed
+        # counts frame; its three consumers (vocab rollup, G-row totals
+        # broadcast, 1-row total broadcast) + token-keyed join + final
+        # G-bounded groupBy are all vocabulary- or G-sized shuffles
+        "domain_divergence_documents": 7,
         "user_sessions": 6, "transcripts_conversation_stats": 6,
         "conversation_stats_documents": 6,
     }

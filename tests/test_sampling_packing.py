@@ -252,3 +252,34 @@ def test_zipf_stats_fewer_types_than_ranks(spark):
     row = zipf_stats(df, "text", top_ranks=1000).collect()[0]
     assert row["n_types"] == 2 and row["ranks_used"] == 2
     assert row["n_tokens"] == 4
+
+
+def test_domain_divergence_hand_computed(spark):
+    import math
+    from discoverx_spark.operators.packing import domain_divergence
+    # group a: [x, x, y]; group b: [y, z]; corpus: x:2 y:2 z:1, T=5
+    df = spark.createDataFrame(
+        [(1, "a", "x x y"), (2, "b", "y z")],
+        "doc_id long, source string, text string")
+    out = {r["group"]: r for r in
+           domain_divergence(df, "source", "text").collect()}
+    pa = {"x": 2 / 3, "y": 1 / 3}
+    q = {"x": 0.4, "y": 0.4, "z": 0.2}
+    kl_a = sum(p * math.log(p / q[t]) for t, p in pa.items())
+    js_a = (sum(0.5 * (p * math.log(2 * p / (p + q[t]))
+                       + q[t] * math.log(2 * q[t] / (p + q[t])))
+                for t, p in pa.items())
+            + 0.5 * (1 - sum(q[t] for t in pa)) * math.log(2))
+    assert out["a"]["n_tokens"] == 3 and out["a"]["n_types"] == 2
+    assert out["a"]["kl_vs_corpus"] == round(kl_a, 6)
+    assert out["a"]["js_vs_corpus"] == round(js_a, 6)
+    assert out["b"]["n_tokens"] == 2
+
+
+def test_domain_divergence_single_group_is_zero(spark):
+    from discoverx_spark.operators.packing import domain_divergence
+    df = spark.createDataFrame(
+        [(1, "only", "a b c a")], "doc_id long, source string, text string")
+    row = domain_divergence(df, "source", "text").collect()[0]
+    # P == Q -> both divergences exactly 0 (coverage term vanishes)
+    assert row["kl_vs_corpus"] == 0.0 and row["js_vs_corpus"] == 0.0
