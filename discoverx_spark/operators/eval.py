@@ -126,6 +126,33 @@ def calibration_bins(df: DataFrame, label_col, score_col,
                  .alias("frac_pos")))
 
 
+def topk_recall(approx: DataFrame, exact: DataFrame,
+                query_col: str, id_col: str) -> DataFrame:
+    """Per-query recall of an approximate top-k result against the exact
+    one: (query, n_exact, n_hit, recall).  Queries present in ``exact``
+    but entirely missed by ``approx`` surface with recall 0.0 (left
+    join), so a bucketing bug can't hide by dropping queries.
+
+    Both inputs are (query, id) frames — pre-filter to rank <= k before
+    calling if the frames carry deeper results.  Scale shape: one
+    (query, id)-keyed semi-join + two query-keyed aggregates; only key
+    pairs shuffle, and the output is queries-sized."""
+    e = exact.select(F.col(query_col).alias("query"),
+                     F.col(id_col).alias("id"))
+    a = approx.select(F.col(query_col).alias("query"),
+                      F.col(id_col).alias("id"))
+    n_exact = e.groupBy("query").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"))
+    hits = (e.join(a, ["query", "id"], "left_semi")
+            .groupBy("query")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hit")))
+    return (n_exact.join(hits, "query", "left")
+            .select("query", "n_exact",
+                    F.coalesce("n_hit", F.lit(0)).alias("n_hit"))
+            .withColumn("recall", F.round(
+                F.col("n_hit") / F.col("n_exact").cast("double"), 6)))
+
+
 def normalize_scores(df: DataFrame, group_col, score_col,
                      id_col: str) -> DataFrame:
     """Per-group score calibration: (id, group, score, score_pct) where

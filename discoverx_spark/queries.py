@@ -3881,6 +3881,32 @@ FROM j GROUP BY "group"
 """
 
 
+def q_ann_recall_lsh(spark, sf_dir):
+    """Recall@10 of the hyperplane-LSH ANN against brute-force cosine
+    top-k, per query — certifying the approximate path's quality IN
+    COMPOSITION with its exact baseline."""
+    from .operators.eval import topk_recall
+    approx = q_ann_lsh_topk(spark, sf_dir)
+    exact = q_cosine_topk_embeddings(spark, sf_dir)
+    return topk_recall(approx, exact, "query_id", "neighbor_id")
+
+
+def _sql_ann_recall_lsh() -> str:
+    return f"""
+WITH approx AS ({_sql_ann_lsh_topk()}),
+exact AS ({_sql_cosine_topk()}),
+en AS (SELECT query_id AS query, CAST(COUNT(*) AS BIGINT) AS n_exact
+       FROM exact GROUP BY 1),
+hits AS (SELECT e.query_id AS query, CAST(COUNT(*) AS BIGINT) AS n_hit
+         FROM exact e JOIN approx a
+           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         GROUP BY 1)
+SELECT query, n_exact, COALESCE(n_hit, 0) AS n_hit,
+       round(COALESCE(n_hit, 0) / CAST(n_exact AS DOUBLE), 6) AS recall
+FROM en LEFT JOIN hits USING (query)
+"""
+
+
 # evaluation suite: pseudo-label = "document has >= 40 whitespace tokens"
 # (a deterministic stand-in for reference keep/drop labels, partially
 # correlated with the classifier score so every confusion cell is hit)
@@ -4621,6 +4647,7 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
                                   _sql_score_normalize()),
     "domain_divergence_documents": (q_domain_divergence_documents,
                                     _sql_domain_divergence()),
+    "ann_recall_lsh": (q_ann_recall_lsh, _sql_ann_recall_lsh()),
     "mixing_rates_documents": (q_mixing_rates_documents,
                                _sql_mixing_rates()),
     "incremental_exact_dedup": (q_incremental_exact_dedup,
@@ -4698,6 +4725,7 @@ _NEVER_CERTIFIED = [
     "calibration_documents",
     "score_normalize_documents",
     "domain_divergence_documents",
+    "ann_recall_lsh",
 ]
 
 

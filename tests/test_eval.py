@@ -91,3 +91,17 @@ def test_normalize_scores_ties_and_singleton(spark):
     assert out[4]["score_pct"] == 1.0
     # singleton group: percent_rank defined as 0
     assert out[5]["score_pct"] == 0.0
+
+
+def test_topk_recall_missed_query_surfaces_as_zero(spark):
+    from discoverx_spark.operators.eval import topk_recall
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], "query_id long, neighbor_id long")
+    # query 1: one hit of two; query 2: entirely missed by approx
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99)], "query_id long, neighbor_id long")
+    out = {r["query"]: r for r in
+           topk_recall(approx, exact, "query_id", "neighbor_id").collect()}
+    assert out[1]["n_exact"] == 2 and out[1]["n_hit"] == 1
+    assert out[1]["recall"] == 0.5
+    assert out[2]["n_hit"] == 0 and out[2]["recall"] == 0.0
