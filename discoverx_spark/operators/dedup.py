@@ -1114,3 +1114,34 @@ def span_dedup(df: DataFrame, text_col: str, id_col: str,
         F.coalesce(n, F.lit(0)).alias("n_tokens"),
         (F.coalesce(n, F.lit(0)) - F.coalesce(F.size(kept), F.lit(0)))
         .alias("n_removed")))
+
+
+def dedup_keep_best(df: DataFrame, text_col: str, id_col: str,
+                    score: Column) -> DataFrame:
+    """Exact dedup with QUALITY-AWARE survivor election: within each
+    normalized-text fingerprint group keep the row maximizing ``score``
+    (ties: smallest id) — "keep the best copy", vs :func:`dedup_exact`'s
+    min-id policy.  The survivor choice matters in practice: duplicate
+    crawls differ in truncation and boilerplate, and min-id keeps
+    whichever was crawled first, not whichever is most complete.
+
+    One shuffle on the fingerprint; the election is
+    ``max(struct(score, -id))`` inside the aggregate (map-side partial),
+    then a left-semi join back on (fingerprint, id) — no window over
+    text-carrying rows.  Returns the surviving rows plus ``dup_count``.
+    """
+    from ..functions.text import fingerprint_expr
+
+    keyed = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_text"),
+        score.alias("_score"),
+        fingerprint_expr(text_col).alias("_fp"))
+    best = (keyed.groupBy("_fp")
+            .agg(F.max(F.struct(F.col("_score").alias("s"),
+                                (-F.col("id")).alias("nid"))).alias("_b"),
+                 F.count(F.lit(1)).alias("dup_count"))
+            .select("_fp", (-F.col("_b.nid")).alias("id"), "dup_count"))
+    return (keyed.join(best, ["_fp", "id"])
+            .select("id", F.col("_text").alias("text"),
+                    F.col("_score").alias("score"), "dup_count"))

@@ -1,0 +1,150 @@
+"""Document fingerprinting by winnowing (Schleimer, Wilkerson & Aiken,
+SIGMOD 2003 — the MOSS algorithm).
+
+Reference context: discoverx fingerprints content only at whole-value
+granularity (rule regexes, ``scanner.py:310-313``); a training-data
+pipeline also needs *local* fingerprints that survive insertions and
+deletions — the winnowing guarantee: any shared substring of at least
+``window + k - 1`` tokens between two documents yields at least one
+shared selected fingerprint, while the expected density of selected
+fingerprints is only ``2 / (window + 1)``.
+
+Plan shape (the one that scales):
+
+* token k-grams are built as a pure projection (``shingles_expr`` — the
+  zip-with formulation; never per-element ``element_at`` lambdas, see
+  the Catalyst-inlining notes on that function);
+* each gram hashes to a long BEFORE the explode feeds any exchange, so
+  the per-document window shuffle carries ``(id, pos, long)`` rows only
+  — gram text never rides a shuffle;
+* window minima use a packed ``(hash, position)`` key so the sliding
+  ``min`` is a plain long comparison: ``key = h * 2^21 + (2^21-1-pos)``
+  — minimal hash wins, ties go to the RIGHTMOST position (the paper's
+  robust-winnowing tie rule).  The packing bounds ``h < 2^32`` (md5
+  slice mode) and ``pos < 2^21`` (2M tokens per document); xxhash64
+  mode switches to a struct key with no such bounds;
+* the per-document sliding window is a ``rowsBetween`` frame over the
+  ``id`` partition — one shuffle keyed by document id, short rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import _hash_fn, shingles_expr
+
+_POS_BITS = 21
+_POS_CAP = (1 << _POS_BITS) - 1
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    window: int = 4,
+    hash_mode: str = "md5",
+    positions: bool = True,
+) -> DataFrame:
+    """Selected winnowing fingerprints per document:
+    ``(id, fp_pos, fp_hash)``, distinct.
+
+    ``k`` is the token-gram length, ``window`` the winnowing window (in
+    grams).  Documents with fewer than ``k + window - 1`` tokens still
+    emit fingerprints for the grams they do have (the standard "short
+    document" degenerate case: every gram's window is truncated at the
+    end of the document: complete windows are kept when they exist;
+    a document shorter than one full window selects the single
+    minimum over all its grams via the position-0 truncated window).
+    """
+    if hash_mode not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_mode must be 'md5' or 'xxhash64', "
+                         f"got {hash_mode!r}")
+    h = _hash_fn(hash_mode, 0)
+    grams = shingles_expr(F.col(text_col), n=k)
+    base = df.select(F.col(id_col).alias("id"), grams.alias("_grams"))
+    occs = (base
+            .select("id", F.size("_grams").alias("_n"),
+                    F.posexplode("_grams").alias("pos", "gram"))
+            .select("id", "_n", "pos", h(F.col("gram")).alias("_h")))
+    if hash_mode == "md5":
+        # md5 slice is a 32-bit non-negative value: pack (hash asc,
+        # pos desc) into one long so the sliding min is scalar
+        key = (F.col("_h") * (1 << _POS_BITS)
+               + (F.lit(_POS_CAP) - F.col("pos")))
+        w = (Window.partitionBy("id").orderBy("pos")
+             .rowsBetween(Window.currentRow, window - 1))
+        sel = occs.select(
+            "id", "_n", "pos", F.min(key).over(w).alias("_sel"))
+        # complete windows only; a document shorter than one window
+        # keeps its position-0 truncated window, so every document with
+        # >= 1 gram selects >= 1 fingerprint
+        full = sel.filter((F.col("pos") <= F.col("_n") - window)
+                          | ((F.col("_n") < window) & (F.col("pos") == 0)))
+        if not positions:
+            return (full.select(
+                "id", F.shiftright(F.col("_sel"), _POS_BITS)
+                .alias("fp_hash")).distinct())
+        return (full.select(
+            "id",
+            (F.lit(_POS_CAP) - (F.col("_sel") % (1 << _POS_BITS)))
+            .cast("int").alias("fp_pos"),
+            F.shiftright(F.col("_sel"), _POS_BITS).alias("fp_hash"))
+            .distinct())
+    # xxhash64: signed 64-bit — struct key, same ordering semantics
+    skey = F.struct(F.col("_h").alias("h"), (-F.col("pos")).alias("np"))
+    w = (Window.partitionBy("id").orderBy("pos")
+         .rowsBetween(Window.currentRow, window - 1))
+    sel = occs.select("id", "_n", "pos", F.min(skey).over(w).alias("_sel"))
+    full = sel.filter((F.col("pos") <= F.col("_n") - window)
+                      | ((F.col("_n") < window) & (F.col("pos") == 0)))
+    if not positions:
+        return (full.select("id", F.col("_sel.h").alias("fp_hash"))
+                .distinct())
+    return (full.select(
+        "id",
+        (-F.col("_sel.np")).cast("int").alias("fp_pos"),
+        F.col("_sel.h").alias("fp_hash"))
+        .distinct())
+
+
+def fingerprint_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_hash_freq: int = 256,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """MOSS-style similarity report: document pairs sharing at least
+    ``min_shared`` winnowed fingerprint hashes, with the shared count.
+
+    Fingerprint hashes occurring in more than ``max_hash_freq`` distinct
+    documents are dropped before pairing (boilerplate grams — the same
+    hot-bucket cap every banded candidate generator in this repo
+    applies, bounding the per-hash pair fan-out at ``max_hash_freq²``).
+    The cap is computed with a WINDOW count over the fp_hash partition,
+    not a groupBy + join back — the ``_bucket_pairs`` lesson: a separate
+    aggregate would re-derive the whole winnowing subplan per reference,
+    and the window's exchange on fp_hash is the same partitioning the
+    self-join needs, so AQE reuses it.  Per-row window state is O(1)
+    (no per-bucket set materializes), so a boilerplate hash shared by
+    10⁸ documents costs nothing but its (discarded) rows."""
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window,
+                              hash_mode=hash_mode, positions=False)
+    wfreq = Window.partitionBy("fp_hash")
+    kept = (fps.withColumn("_docs", F.count(F.lit(1)).over(wfreq))
+            .filter(F.col("_docs") <= max_hash_freq)
+            .drop("_docs"))
+    a = kept.select(F.col("fp_hash"), F.col("id").alias("id_a"))
+    b = kept.select(F.col("fp_hash"), F.col("id").alias("id_b"))
+    pairs = (a.join(b, "fp_hash")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("shared_fps"))
+             .filter(F.col("shared_fps") >= min_shared))
+    return pairs

@@ -219,3 +219,106 @@ def temperature_mix(df: DataFrame, group_col: str, temperature: float,
                         F.round(raw, 6).alias("raw_share"),
                         F.round(temp, 6).alias("temp_share"),
                         F.round(temp / raw, 6).alias("boost"))
+
+
+def token_budget_select(df: DataFrame, id_col: str, score: Column,
+                        cost: Column, budget: int) -> DataFrame:
+    """Budget-constrained greedy selection: rank units by ``score``
+    (descending, ties by id) and keep the maximal prefix whose
+    cumulative ``cost`` stays within ``budget`` — "fill the token budget
+    with the best-scoring documents", the selection step after any
+    quality scorer / DSIR weighting.
+
+    The global prefix-sum is computed DISTRIBUTED, not with a
+    single-partition window: range-repartition by the ranking key, local
+    cumulative sums per partition, then a partition-count-sized offset
+    table (one tiny window) broadcast-joined back.  The ranking key is
+    total (score, id), so the kept set is deterministic even though
+    range boundaries are sampled.  Cost: one range shuffle + one hash
+    shuffle on partition id; no driver materialization.
+
+    Returns ``(id, score, cost, cum_cost)`` for the selected prefix.
+    """
+    from pyspark.sql.window import Window
+    base = df.select(F.col(id_col).alias("id"), score.alias("score"),
+                     cost.cast("long").alias("cost"))
+    # lazy checkpoint: `ranked` feeds BOTH the per-partition cumsum and
+    # the totals aggregate — without the lineage cut each reference
+    # re-derives the range shuffle (the curation_pipeline_v2 lesson)
+    ranked = (base.repartitionByRange(F.col("score").desc(),
+                                      F.col("id").asc())
+              .sortWithinPartitions(F.col("score").desc(),
+                                    F.col("id").asc())
+              .withColumn("_part", F.spark_partition_id())
+              .localCheckpoint(eager=False))
+    wloc = (Window.partitionBy("_part")
+            .orderBy(F.col("score").desc(), F.col("id").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = ranked.withColumn("_cum_local", F.sum("cost").over(wloc))
+    totals = ranked.groupBy("_part").agg(F.sum("cost").alias("_tot"))
+    woff = (Window.orderBy("_part")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        "_part", F.coalesce(F.sum("_tot").over(woff),
+                            F.lit(0)).alias("_off"))
+    out = (local.join(F.broadcast(offsets), "_part")
+           .withColumn("cum_cost", F.col("_cum_local") + F.col("_off"))
+           .filter(F.col("cum_cost") <= budget)
+           .select("id", "score", "cost", "cum_cost"))
+    return out
+
+
+def shard_assign(df: DataFrame, id_col: str, n_shards: int,
+                 hash_mode: str = "xxhash64") -> DataFrame:
+    """Deterministic training-shard assignment: ``shard =
+    hash(id) mod n_shards`` — a pure projection (NO global sort, NO
+    window), so it is the only shard scheme that survives 100 TB: each
+    writer task needs nothing but the row it holds, and balance follows
+    from the hash (expected deviation ~ sqrt(docs/shard)).
+
+    An exact token-balanced assignment (bin packing) needs a global
+    greedy pass that cannot be expressed without serializing on one
+    partition; at scale the hash scheme + per-shard stats audit is the
+    standard practice.  Returns the input plus a ``shard`` column."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from .dedup import _hash_fn
+    h = _hash_fn(hash_mode, 0)(F.col(id_col).cast("string"))
+    return df.withColumn("shard", F.pmod(h, F.lit(n_shards)).cast("int"))
+
+
+def doremi_step(df: DataFrame, group_col: str, loss: Column,
+                ref_loss: Column, weights: Dict[str, float],
+                eta: float = 1.0, smoothing: float = 0.0) -> DataFrame:
+    """One DoReMi domain-reweighting step (Xie et al. 2023, alg. 1
+    inner update): per-domain average excess loss
+    ``λ_d = mean(max(loss − ref_loss, 0))`` drives a multiplicative
+    update ``w'_d ∝ w_d · exp(η·λ_d)``, optionally mixed with the
+    uniform distribution by ``smoothing`` (the paper's c).
+
+    Scale shape: one groupBy of (domain, excess) partial means; the
+    prior-weight table is broadcast and the normalizer is one
+    single-partition window over the domain-count-sized frame.  Returns
+    ``(group, n_units, excess_loss, weight)`` rounded to 6 dp."""
+    if not weights:
+        raise ValueError("weights must be a non-empty dict")
+    if not 0.0 <= smoothing <= 1.0:
+        raise ValueError(f"smoothing must be in [0,1], got {smoothing}")
+    from pyspark.sql.window import Window
+    total = float(sum(weights.values()))
+    prior = df.sparkSession.createDataFrame(
+        [(k, v / total) for k, v in sorted(weights.items())],
+        f"{group_col} string, _prior double")
+    stats = (df.groupBy(group_col)
+             .agg(F.count(F.lit(1)).alias("n_units"),
+                  F.avg(F.greatest(loss - ref_loss, F.lit(0.0)))
+                  .alias("excess_loss")))
+    j = stats.join(F.broadcast(prior), group_col, "inner")
+    unnorm = F.col("_prior") * F.exp(F.lit(eta) * F.col("excess_loss"))
+    win = Window.partitionBy()
+    k = F.count(F.lit(1)).over(win)
+    norm = unnorm / F.sum(unnorm).over(win)
+    mixed = (1.0 - smoothing) * norm + F.lit(smoothing) / k
+    return j.select(group_col, "n_units",
+                    F.round("excess_loss", 6).alias("excess_loss"),
+                    F.round(mixed, 6).alias("weight"))

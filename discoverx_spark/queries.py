@@ -4474,6 +4474,383 @@ FROM j
 
 
 # ---------------------------------------------------------------------------
+# Temporal joins: as-of join, binned range join, multi-resolution rollup
+# ---------------------------------------------------------------------------
+
+def q_asof_join_events(spark, sf_dir):
+    """As-of join: attribute each purchase event to the most recent
+    preceding 'view' event of the same user (ties: greatest event_id).
+
+    Union+window single-shuffle formulation (operators/temporal.py) —
+    the scalable replacement for an inequality join, which Spark would
+    plan as BroadcastNestedLoopJoin."""
+    from .operators.temporal import asof_join
+    ev = _t(spark, sf_dir, "events")
+    left = (ev.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts"))
+    right = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", F.col("event_id").alias("view_id"), "ts"))
+    out = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts",
+                    payload=["view_id"], right_order="view_id")
+    # no-match sentinels (-1) keep the output columns non-nullable BIGINT —
+    # nullable ints round-trip as float64 through Arrow/pandas and make
+    # cross-engine hashes fragile
+    return out.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.coalesce(F.col("matched_view_id"), F.lit(-1).cast("long"))
+        .alias("matched_view_id"),
+        F.coalesce(F.unix_timestamp("matched_ts"), F.lit(-1).cast("long"))
+        .alias("matched_ts_epoch"))
+
+
+SQL_ASOF_JOIN = """
+SELECT p.event_id, p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_epoch,
+       coalesce(m.view_id, -1) AS matched_view_id,
+       coalesce(CAST(floor(epoch(m.ts)) AS BIGINT), -1) AS matched_ts_epoch
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+LEFT JOIN LATERAL (
+    SELECT e.event_id AS view_id, e.ts
+    FROM events e
+    WHERE e.user_id = p.user_id AND e.event_type = 'view'
+      AND e.ts <= p.ts
+    ORDER BY e.ts DESC, e.event_id DESC
+    LIMIT 1
+) m ON TRUE
+"""
+
+
+def q_range_join_error_windows(spark, sf_dir):
+    """Binned range join: for each 'error' event, count and sum all
+    events of the same user inside the closed-open 10-minute window
+    starting at the error.  Equi-join on (user_id, time-bin) with an
+    exact residual filter — no BroadcastNestedLoop (see
+    operators/temporal.py:range_join_binned)."""
+    from .operators.temporal import range_join_binned
+    ev = _t(spark, sf_dir, "events")
+    intervals = (ev.filter(F.col("event_type") == "error")
+                 .select(F.col("event_id").alias("window_id"), "user_id",
+                         F.col("ts").alias("w_start"),
+                         (F.col("ts") + F.expr("INTERVAL 600 SECONDS"))
+                         .alias("w_end")))
+    points = ev.select("user_id", "ts", "value")
+    joined = range_join_binned(points, intervals, on="user_id",
+                               point_ts="ts", start="w_start", end="w_end",
+                               bin_seconds=600)
+    return (joined.groupBy("window_id", "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(cents("value")).alias("value_cents")))
+
+
+SQL_RANGE_JOIN = """
+SELECT w.window_id, w.user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(e.value*100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM (SELECT event_id AS window_id, user_id, ts AS w_start,
+             ts + INTERVAL 600 SECONDS AS w_end
+      FROM events WHERE event_type = 'error') w
+JOIN events e
+  ON e.user_id = w.user_id AND e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.window_id, w.user_id
+"""
+
+
+def q_events_rollup_multires(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup: (day, hour), (day), and
+    grand-total aggregates in ONE pass via ROLLUP grouping sets — the
+    continuous-aggregate shape, computed without re-reading the fact
+    table per resolution.  NULL grouping slots are materialized as
+    'ALL'/-1 so the output is engine-portable without grouping_id()."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("long").alias("hr"),
+        "value")
+    rolled = (base.rollup("day", "hr")
+              .agg(F.count("*").alias("n"),
+                   F.sum(cents("value")).alias("value_cents")))
+    return rolled.select(
+        F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
+        F.coalesce(F.col("hr"), F.lit(-1).cast("long")).alias("hr"),
+        "n", "value_cents")
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT coalesce(day, 'ALL') AS day,
+       coalesce(hr, -1) AS hr,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM (SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(hour(ts) AS BIGINT) AS hr, value
+      FROM events)
+GROUP BY ROLLUP(day, hr)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints, keyword matching, selection / curation ops
+# ---------------------------------------------------------------------------
+
+_WIN_K = 3          # token-gram length
+_WIN_W = 4          # winnowing window (grams)
+_WIN_POS_MOD = 1 << 21
+
+
+def q_winnow_fingerprints_documents(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al. 2003 / MOSS):
+    per-document selected (position, gram-hash) pairs with guaranteed
+    detection of shared substrings >= window+k-1 tokens.  md5-slice hash
+    family for oracle parity (production twin: xxhash64)."""
+    from .operators.fingerprint import winnow_fingerprints
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"(\S+)"), 1))
+        >= _WIN_K)
+    return (winnow_fingerprints(docs, "text", "doc_id",
+                                k=_WIN_K, window=_WIN_W, hash_mode="md5")
+            .select(F.col("id").alias("doc_id"), "fp_pos", "fp_hash"))
+
+
+def _sql_winnow(inner_only: bool = False) -> str:
+    k, w, mod = _WIN_K, _WIN_W, _WIN_POS_MOD
+    sql = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '(\S+)', 1) AS tl
+  FROM documents),
+occs AS (
+  SELECT doc_id, i - 1 AS pos, len(tl) - {k - 1} AS n,
+         ('0x'||substr(md5(array_to_string(
+              list_slice(tl, i, i + {k - 1}), ' ')||'#g0'),1,8))::BIGINT AS h
+  FROM (SELECT doc_id, tl, unnest(range(1, len(tl) - {k} + 2)) AS i
+        FROM toks WHERE len(tl) >= {k})),
+sel AS (
+  SELECT doc_id, pos, n,
+         min(h * {mod} + ({mod - 1} - pos))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS skey
+  FROM occs),
+fps AS (
+  SELECT DISTINCT doc_id,
+         CAST({mod - 1} - (skey % {mod}) AS INTEGER) AS fp_pos,
+         skey // {mod} AS fp_hash
+  FROM sel
+  WHERE pos <= n - {w} OR (n < {w} AND pos = 0))
+"""
+    if inner_only:
+        return sql
+    return sql + "SELECT doc_id, fp_pos, fp_hash FROM fps\n"
+
+
+_FP_MIN_SHARED = 2
+_FP_MAX_FREQ = 256
+
+
+def q_fingerprint_overlap_pairs(spark, sf_dir):
+    """MOSS similarity report over winnowed fingerprints: pairs of
+    documents sharing >= min_shared selected hashes, hot hashes capped
+    (boilerplate guard) — the fingerprint-based near-dup candidate
+    generator."""
+    from .operators.fingerprint import fingerprint_overlap_pairs
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"(\S+)"), 1))
+        >= _WIN_K)
+    return fingerprint_overlap_pairs(
+        docs, "text", "doc_id", k=_WIN_K, window=_WIN_W,
+        min_shared=_FP_MIN_SHARED, max_hash_freq=_FP_MAX_FREQ,
+        hash_mode="md5")
+
+
+def _sql_fingerprint_overlap() -> str:
+    return _sql_winnow(inner_only=True) + rf""",
+hashes AS (SELECT DISTINCT doc_id, fp_hash FROM fps),
+ok AS (SELECT fp_hash FROM hashes GROUP BY fp_hash
+       HAVING count(*) <= {_FP_MAX_FREQ})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+FROM (SELECT * FROM hashes WHERE fp_hash IN (SELECT fp_hash FROM ok)) a
+JOIN (SELECT * FROM hashes WHERE fp_hash IN (SELECT fp_hash FROM ok)) b
+  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {_FP_MIN_SHARED}
+"""
+
+
+_KEYWORDS = ("spark", "merge batch", "table part", "scan slow", "key agg",
+             "customer query", "hash value", "fast sort", "window",
+             "stream")
+
+
+def q_keyword_match_documents(spark, sf_dir):
+    """Aho-Corasick multi-keyword matching (one O(text) automaton pass
+    per document, keywords matched simultaneously) — the scalable form
+    of a 10^3-10^5-term blocklist/taxonomy scan.  Counts are
+    leftmost-greedy non-overlapping per keyword (replace() semantics),
+    which is what makes the operator SQL-replayable."""
+    from .functions.keywords import make_keyword_match_udf
+    docs = _t(spark, sf_dir, "documents")
+    udf = make_keyword_match_udf(_KEYWORDS)
+    hits = docs.select("doc_id", F.explode(udf(F.col("text")))
+                       .alias("m"))
+    return hits.select("doc_id", F.col("m.kw").alias("kw"),
+                       F.col("m.cnt").alias("cnt"))
+
+
+def _sql_keyword_match() -> str:
+    values = ", ".join(f"('{k}')" for k in _KEYWORDS)
+    return rf"""
+WITH kws(kw) AS (VALUES {values}),
+t AS (SELECT doc_id, lower(text) AS t FROM documents
+      WHERE text IS NOT NULL)
+SELECT doc_id, kw,
+       CAST((len(t) - len(replace(t, kw, ''))) / len(kw) AS INTEGER) AS cnt
+FROM t CROSS JOIN kws
+WHERE len(t) - len(replace(t, kw, '')) > 0
+"""
+
+
+def q_dedup_keep_best_documents(spark, sf_dir):
+    """Exact dedup electing the BEST copy per fingerprint group
+    (score = n_chars: keep the most complete crawl) instead of the
+    min-id copy — aggregate-side argmax, no text-carrying window."""
+    from .operators.dedup import dedup_keep_best
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup_keep_best(docs, "text", "doc_id",
+                          F.col("n_chars").cast("long"))
+    return out.select(F.col("id").alias("doc_id"), "text",
+                      F.col("score").cast("long").alias("score"),
+                      "dup_count")
+
+
+SQL_DEDUP_KEEP_BEST = r"""
+WITH keyed AS (
+  SELECT doc_id, text, CAST(n_chars AS BIGINT) AS score,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE text IS NOT NULL),
+ranked AS (
+  SELECT doc_id, text, score,
+         row_number() OVER (PARTITION BY fp
+                            ORDER BY score DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY fp) AS dup_count
+  FROM keyed)
+SELECT doc_id, text, score, dup_count
+FROM ranked WHERE rn = 1
+"""
+
+
+_BUDGET_TOKENS = 8000
+
+
+def q_token_budget_select_documents(spark, sf_dir):
+    """Budget-constrained greedy selection: best-scoring documents
+    (score = distinct-token count, a lexical-diversity proxy) until the
+    token budget fills.  The global prefix-sum runs distributed
+    (range-partition + per-partition offsets), not as one
+    single-partition window."""
+    from .operators.sampling import token_budget_select
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(r"(\S+)"), 1)
+    prepared = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).cast("long").alias("_score"),
+        F.size(toks).cast("long").alias("_cost"))
+    out = token_budget_select(prepared, "doc_id", F.col("_score"),
+                              F.col("_cost"), _BUDGET_TOKENS)
+    return out.select(F.col("id").alias("doc_id"),
+                      F.col("score").cast("long").alias("score"),
+                      "cost", F.col("cum_cost").cast("long")
+                      .alias("cum_cost"))
+
+
+def _sql_token_budget_select() -> str:
+    return rf"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(
+              regexp_extract_all(lower(text), '(\S+)', 1))) AS BIGINT)
+           AS score,
+         CAST(len(regexp_extract_all(lower(text), '(\S+)', 1)) AS BIGINT)
+           AS cost
+  FROM documents WHERE text IS NOT NULL)
+SELECT doc_id, score, cost, CAST(cum_cost AS BIGINT) AS cum_cost
+FROM (SELECT doc_id, score, cost,
+             sum(cost) OVER (ORDER BY score DESC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum_cost
+      FROM s)
+WHERE cum_cost <= {_BUDGET_TOKENS}
+"""
+
+
+_N_SHARDS = 16
+
+
+def q_shard_assign_documents(spark, sf_dir):
+    """Deterministic hash shard assignment (pure projection — the only
+    shard scheme with no global coordination) + per-shard balance audit.
+    md5 family for oracle parity; production uses xxhash64."""
+    from .operators.sampling import shard_assign
+    docs = _t(spark, sf_dir, "documents")
+    assigned = shard_assign(docs.select("doc_id", "n_chars"), "doc_id",
+                            _N_SHARDS, hash_mode="md5")
+    return (assigned.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("chars_total")))
+
+
+def _sql_shard_assign() -> str:
+    h = "('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#g0'),1,8))::BIGINT"
+    return rf"""
+SELECT CAST({h} % {_N_SHARDS} AS INTEGER) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total
+FROM documents
+GROUP BY 1
+"""
+
+
+_DOREMI_ETA = 1.0
+_DOREMI_SMOOTH = 0.1
+_DOREMI_REF_LOSS = 6.0
+
+
+def q_doremi_step_documents(spark, sf_dir):
+    """One DoReMi domain-reweighting step (Xie et al. 2023): uniform
+    prior over the 20 sources, per-doc proxy loss = chars-per-token,
+    constant reference loss; multiplicative-weights update with uniform
+    smoothing c=0.1."""
+    from .operators.sampling import doremi_step
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"(\S+)"), 1))
+    loss = F.col("n_chars").cast("double") / (toks.cast("double") + 1.0)
+    weights = {f"src{i}": 1.0 for i in range(20)}
+    return doremi_step(docs, "source", loss,
+                       F.lit(_DOREMI_REF_LOSS), weights,
+                       eta=_DOREMI_ETA, smoothing=_DOREMI_SMOOTH)
+
+
+def _sql_doremi_step() -> str:
+    values = ", ".join(f"('src{i}', {1.0 / 20})" for i in range(20))
+    return rf"""
+WITH prior(source, p) AS (VALUES {values}),
+stats AS (
+  SELECT source, COUNT(*) AS n_units,
+         avg(greatest(CAST(n_chars AS DOUBLE)
+                      / (len(regexp_extract_all(lower(text), '(\S+)', 1))
+                         + 1.0) - {_DOREMI_REF_LOSS}, 0.0)) AS excess
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY source),
+j AS (
+  SELECT s.source, s.n_units, s.excess,
+         prior.p * exp({_DOREMI_ETA} * s.excess) AS unnorm
+  FROM stats s JOIN prior USING (source))
+SELECT source, n_units,
+       round(excess, 6) AS excess_loss,
+       round((1.0 - {_DOREMI_SMOOTH}) * unnorm / sum(unnorm) OVER ()
+             + {_DOREMI_SMOOTH} / count(*) OVER (), 6) AS weight
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -4654,6 +5031,22 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
                                 SQL_INCREMENTAL_EXACT),
     "line_dedup_within_documents": (q_line_dedup_within_documents,
                                     SQL_LINE_DEDUP_WITHIN),
+    "asof_join_events": (q_asof_join_events, SQL_ASOF_JOIN),
+    "range_join_error_windows": (q_range_join_error_windows, SQL_RANGE_JOIN),
+    "events_rollup_multires": (q_events_rollup_multires, SQL_EVENTS_ROLLUP),
+    "winnow_fingerprints_documents": (q_winnow_fingerprints_documents,
+                                      _sql_winnow()),
+    "fingerprint_overlap_pairs": (q_fingerprint_overlap_pairs,
+                                  _sql_fingerprint_overlap()),
+    "keyword_match_documents": (q_keyword_match_documents,
+                                _sql_keyword_match()),
+    "dedup_keep_best_documents": (q_dedup_keep_best_documents,
+                                  SQL_DEDUP_KEEP_BEST),
+    "token_budget_select_documents": (q_token_budget_select_documents,
+                                      _sql_token_budget_select()),
+    "shard_assign_documents": (q_shard_assign_documents,
+                               _sql_shard_assign()),
+    "doremi_step_documents": (q_doremi_step_documents, _sql_doremi_step()),
 }
 
 # The external correctness driver certifies only the FIRST
@@ -4726,6 +5119,16 @@ _NEVER_CERTIFIED = [
     "score_normalize_documents",
     "domain_divergence_documents",
     "ann_recall_lsh",
+    "asof_join_events",
+    "range_join_error_windows",
+    "events_rollup_multires",
+    "winnow_fingerprints_documents",
+    "fingerprint_overlap_pairs",
+    "keyword_match_documents",
+    "dedup_keep_best_documents",
+    "token_budget_select_documents",
+    "shard_assign_documents",
+    "doremi_step_documents",
 ]
 
 

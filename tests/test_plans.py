@@ -238,6 +238,14 @@ def test_registry_wide_plan_budgets(spark):
         "domain_divergence_documents": 7,
         "user_sessions": 6, "transcripts_conversation_stats": 6,
         "conversation_stats_documents": 6,
+        # composition of the full LSH top-k plan (bucket join + rank
+        # windows) with the brute-force baseline plan + hit join + two
+        # per-query aggs — both parents are individually budgeted; the
+        # eval overlay adds the join and rollup exchanges
+        "ann_recall_lsh": 10,
+        # winnow window (id) + fp distinct + window-count cap on fp_hash
+        # + self-join + pair groupBy (banding self-join family)
+        "fingerprint_overlap_pairs": 7,
     }
     default_budget = 5
     for name, (fn, _sql) in QUERIES.items():
