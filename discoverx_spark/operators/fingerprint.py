@@ -137,9 +137,13 @@ def fingerprint_overlap_pairs(
     fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window,
                               hash_mode=hash_mode, positions=False)
     wfreq = Window.partitionBy("fp_hash")
+    # lazy checkpoint: the self-join references `kept` twice — without
+    # the lineage cut each side re-derives the whole winnowing subplan
+    # (window + distinct), doubling the operator's cost
     kept = (fps.withColumn("_docs", F.count(F.lit(1)).over(wfreq))
             .filter(F.col("_docs") <= max_hash_freq)
-            .drop("_docs"))
+            .drop("_docs")
+            .localCheckpoint(eager=False))
     a = kept.select(F.col("fp_hash"), F.col("id").alias("id_a"))
     b = kept.select(F.col("fp_hash"), F.col("id").alias("id_b"))
     pairs = (a.join(b, "fp_hash")

@@ -4850,6 +4850,159 @@ FROM j
 """
 
 
+_FP_VERIFY_THRESHOLD = 0.15
+
+
+def q_fingerprint_neardup_verified(spark, sf_dir):
+    """MOSS near-dup in composition: winnowed-fingerprint overlap
+    candidates (capped hot hashes) verified with EXACT 3-gram Jaccard —
+    the same candidates-then-verify shape as the MinHash family, with
+    winnowing as the candidate generator."""
+    from .operators.dedup import jaccard_pairs
+    from .operators.fingerprint import fingerprint_overlap_pairs
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"(\S+)"), 1))
+        >= _WIN_K)
+    cands = fingerprint_overlap_pairs(
+        docs, "text", "doc_id", k=_WIN_K, window=_WIN_W,
+        min_shared=_FP_MIN_SHARED, max_hash_freq=_FP_MAX_FREQ,
+        hash_mode="md5").select("id_a", "id_b")
+    return jaccard_pairs(docs, "text", "doc_id", candidates=cands,
+                         shingle_n=_WIN_K,
+                         threshold=_FP_VERIFY_THRESHOLD)
+
+
+def _sql_fingerprint_neardup_verified() -> str:
+    jac = ("CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+           "greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)")
+    return _sql_winnow(inner_only=True) + rf""",
+hashes AS (SELECT DISTINCT doc_id, fp_hash FROM fps),
+ok AS (SELECT fp_hash FROM hashes GROUP BY fp_hash
+       HAVING count(*) <= {_FP_MAX_FREQ}),
+cands AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (SELECT * FROM hashes WHERE fp_hash IN (SELECT fp_hash FROM ok)) a
+  JOIN (SELECT * FROM hashes WHERE fp_hash IN (SELECT fp_hash FROM ok)) b
+    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {_FP_MIN_SHARED}),
+sh AS (
+  SELECT doc_id AS id, list_distinct(list_transform(
+           range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '(\S+)', 1) AS t
+        FROM documents)
+  WHERE len(t) >= {_WIN_K})
+SELECT id_a, id_b, {jac} AS jaccard
+FROM cands JOIN sh a ON cands.id_a = a.id
+           JOIN sh b ON cands.id_b = b.id
+WHERE {jac} >= {_FP_VERIFY_THRESHOLD}
+"""
+
+
+_REPORT_GATE_MIN_CHARS = 50
+_REPORT_GATE_MAX_CHARS = 2000
+
+
+def q_corpus_report_documents(spark, sf_dir):
+    """Per-source corpus datasheet in one job: volume + token stats,
+    quality-gate pass rate, language spread with majority language, and
+    exact-duplicate exposure — the 'datasheet for datasets' rollup a
+    curation run publishes next to its output.  Three fact-scan
+    aggregation branches (each column-pruned) joined on the
+    domain-count-sized key."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    nt = F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"(\S+)"), 1))
+    ok = ((F.col("n_chars") >= _REPORT_GATE_MIN_CHARS)
+          & (F.col("n_chars") <= _REPORT_GATE_MAX_CHARS)).cast("int")
+    base = docs.select("source", "lang",
+                       fingerprint_expr("text").alias("fp"),
+                       nt.cast("long").alias("nt"), ok.alias("ok"))
+    vol = (base.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("nt").cast("long").alias("total_tokens"),
+                F.round(F.avg("nt"), 6).alias("avg_tokens"),
+                F.round(F.avg("ok"), 6).alias("gate_pass_rate")))
+    langs = (base.groupBy("source", "lang")
+             .agg(F.count(F.lit(1)).alias("c"))
+             .groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_langs"),
+                  # majority language, ties to the lexicographically
+                  # smallest: min of (-count, lang) sorts by count desc
+                  F.min(F.struct((-F.col("c")).alias("nc"),
+                                 F.col("lang").alias("l"))).alias("_t"))
+             .select("source", "n_langs", F.col("_t.l").alias("top_lang")))
+    dups = (base.groupBy("source", "fp")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("source")
+            .agg(F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))),
+                            F.lit(0)).cast("long").alias("dup_docs")))
+    return (vol.join(F.broadcast(langs), "source")
+            .join(F.broadcast(dups), "source"))
+
+
+def _sql_corpus_report() -> str:
+    return rf"""
+WITH base AS (
+  SELECT source, lang,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         CAST(len(regexp_extract_all(lower(text), '(\S+)', 1)) AS BIGINT)
+           AS nt,
+         CASE WHEN n_chars BETWEEN {_REPORT_GATE_MIN_CHARS}
+                               AND {_REPORT_GATE_MAX_CHARS}
+              THEN 1 ELSE 0 END AS ok
+  FROM documents WHERE text IS NOT NULL),
+vol AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(nt) AS BIGINT) AS total_tokens,
+         round(avg(nt), 6) AS avg_tokens,
+         round(avg(ok), 6) AS gate_pass_rate
+  FROM base GROUP BY source),
+lc AS (SELECT source, lang, COUNT(*) AS c FROM base GROUP BY source, lang),
+langs AS (
+  SELECT source, COUNT(*) AS n_langs,
+         min(struct_pack(nc := -c, l := lang)).l AS top_lang
+  FROM lc GROUP BY source),
+dups AS (
+  SELECT source,
+         CAST(coalesce(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+           AS dup_docs
+  FROM (SELECT source, fp, COUNT(*) AS c FROM base GROUP BY source, fp)
+  GROUP BY source)
+SELECT vol.source, n_docs, total_tokens, avg_tokens, gate_pass_rate,
+       n_langs, top_lang, dup_docs
+FROM vol JOIN langs ON vol.source = langs.source
+         JOIN dups ON vol.source = dups.source
+"""
+
+
+def q_bloom_novel_documents(spark, sf_dir):
+    """Bloom-accelerated incremental dedup probe: documents whose
+    normalized fingerprint is NOT in the even-id index half.  The Bloom
+    filter routes definitely-new rows around the anti-join (the common
+    case at 10^12 accumulated keys); output is EXACT — identical to the
+    plain anti-join the oracle states."""
+    from .operators.bloom import bloom_prefilter_novel
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    keyed = docs.select("doc_id", fingerprint_expr("text").alias("fp"))
+    index = keyed.filter(F.col("doc_id") % 2 == 0).select("fp")
+    batch = keyed.filter(F.col("doc_id") % 2 == 1)
+    return bloom_prefilter_novel(batch, index, "fp",
+                                 expected_items=4096, fpp=0.01)
+
+
+SQL_BLOOM_NOVEL = r"""
+WITH keyed AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE text IS NOT NULL)
+SELECT fp, doc_id
+FROM keyed b
+WHERE doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM keyed i
+                  WHERE i.doc_id % 2 = 0 AND i.fp = b.fp)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5047,6 +5200,11 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "shard_assign_documents": (q_shard_assign_documents,
                                _sql_shard_assign()),
     "doremi_step_documents": (q_doremi_step_documents, _sql_doremi_step()),
+    "fingerprint_neardup_verified": (q_fingerprint_neardup_verified,
+                                     _sql_fingerprint_neardup_verified()),
+    "corpus_report_documents": (q_corpus_report_documents,
+                                _sql_corpus_report()),
+    "bloom_novel_documents": (q_bloom_novel_documents, SQL_BLOOM_NOVEL),
 }
 
 # The external correctness driver certifies only the FIRST
@@ -5129,6 +5287,9 @@ _NEVER_CERTIFIED = [
     "token_budget_select_documents",
     "shard_assign_documents",
     "doremi_step_documents",
+    "fingerprint_neardup_verified",
+    "corpus_report_documents",
+    "bloom_novel_documents",
 ]
 
 

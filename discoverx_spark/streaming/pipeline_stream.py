@@ -334,3 +334,25 @@ def tool_call_stats_stream(turns_stream: DataFrame,
                 stateStructType=_TOOL_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def keyword_gate_stream(stream_df: DataFrame,
+                        keywords,
+                        text_col: str = "text",
+                        max_hits: int = 0) -> DataFrame:
+    """Streaming blocklist gate: Aho-Corasick multi-keyword matching on
+    ingest — rows whose total (greedy non-overlapping) match count
+    exceeds ``max_hits`` are dropped, the rest pass through annotated
+    with ``kw_hits``.  The automaton kernel is the SAME Arrow UDF the
+    batch ``keyword_match`` query uses (per-worker build, O(text) per
+    row, stateless), so the stream/batch decision parity holds by
+    construction — verified in tests by running the identical frame both
+    ways."""
+    from ..functions.keywords import make_keyword_match_udf
+
+    udf = make_keyword_match_udf(keywords)
+    hits = F.aggregate(udf(F.col(text_col)), F.lit(0),
+                       lambda acc, m: acc + m["cnt"])
+    return (stream_df
+            .withColumn("kw_hits", F.coalesce(hits, F.lit(0)))
+            .filter(F.col("kw_hits") <= max_hits))

@@ -244,8 +244,15 @@ def test_registry_wide_plan_budgets(spark):
         # eval overlay adds the join and rollup exchanges
         "ann_recall_lsh": 10,
         # winnow window (id) + fp distinct + window-count cap on fp_hash
-        # + self-join + pair groupBy (banding self-join family)
+        # + self-join + pair groupBy (banding self-join family); the
+        # candidate frame is lazily checkpointed, so the measured plan
+        # is the post-cut tail
         "fingerprint_overlap_pairs": 7,
+        "fingerprint_neardup_verified": 7,
+        # three aggregation branches over the pruned fact scan (volume,
+        # per-(source,lang) + per-source rollup, per-(source,fp) +
+        # per-source rollup) + two broadcast joins on the 20-row key
+        "corpus_report_documents": 14,
     }
     default_budget = 5
     for name, (fn, _sql) in QUERIES.items():

@@ -191,3 +191,27 @@ def test_conversation_gates_stream_matches_batch(spark, input_dir, tmp_path):
     assert set(got) == set(exp)
     for conv in exp:
         assert got[conv] == exp[conv], conv
+
+
+def test_keyword_gate_stream_matches_batch(spark, input_dir, tmp_path):
+    """The Aho-Corasick gate is a stateless Arrow-UDF projection filter,
+    so the streaming keep set must equal the batch keep set."""
+    from discoverx_spark.streaming.pipeline_stream import keyword_gate_stream
+
+    kws = ["the", "hello", "tool"]
+    stream = read_transcripts_stream(spark, input_dir)
+    out_dir = str(tmp_path / "kw_out")
+    q = (keyword_gate_stream(stream, kws, max_hits=1)
+         .writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "kw_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["conv_id"], r["turn_idx"], r["kw_hits"])
+           for r in spark.read.parquet(out_dir).collect()}
+    want = {(r["conv_id"], r["turn_idx"], r["kw_hits"])
+            for r in keyword_gate_stream(spark.read.parquet(input_dir),
+                                         kws, max_hits=1).collect()}
+    assert got == want
+    full = spark.read.parquet(input_dir).count()
+    assert 0 < len(got) < full
