@@ -72,6 +72,10 @@ HEADLINE = [
     # round-5: interpolated Kneser-Ney trigram LM (train + join-based
     # scoring composed in one query, like stupid_backoff above)
     "kneser_ney_documents",
+    # round-5 (late): winnowing-fingerprint near-dup with exact Jaccard
+    # verification (fourth dedup family) and the per-source corpus
+    # datasheet composition
+    "fingerprint_neardup_verified", "corpus_report_documents",
 ]
 
 

@@ -114,7 +114,10 @@ def bloom_prefilter_novel(batch: DataFrame, index: DataFrame, key_col: str,
     m, k = bloom_params(expected_items, fpp)
     words = bloom_build(index.select(key_col), key_col, m, k)
     mc = make_might_contain_udf(batch.sparkSession, words, m, k)
-    flagged = batch.withColumn("_maybe", mc(F.col(key_col).cast("string")))
+    # lazy checkpoint: both output branches reference `flagged` — without
+    # the lineage cut each branch re-runs the probe UDF over the batch
+    flagged = (batch.withColumn("_maybe", mc(F.col(key_col).cast("string")))
+               .localCheckpoint(eager=False))
     definite_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
     verified_new = (flagged.filter(F.col("_maybe")).drop("_maybe")
                     .join(index.select(key_col).distinct(),

@@ -5003,6 +5003,97 @@ WHERE doc_id % 2 = 1
 """
 
 
+_OOV_VOCAB_K = 25
+
+
+def q_oov_rate_documents(spark, sf_dir):
+    """Tokenizer-vocabulary coverage: per-source out-of-vocabulary token
+    rate against the corpus top-K vocabulary (total-order top-k, ties by
+    token) — the coverage audit run before committing to a tokenizer.
+    The vocabulary is broadcast; the fact side shuffles (source, token)
+    counts only."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = (docs.select("source",
+                        F.explode(F.regexp_extract_all(
+                            F.lower("text"), F.lit(r"(\S+)"), 1))
+                        .alias("tok")))
+    vocab = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.desc("c"), F.asc("tok")).limit(_OOV_VOCAB_K)
+             .select("tok"))
+    flagged = toks.join(F.broadcast(vocab).withColumn("_in", F.lit(1)),
+                        "tok", "left")
+    return (flagged.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_oov"),
+                 F.round(F.avg(F.when(F.col("_in").isNull(), 1.0)
+                               .otherwise(0.0)), 6).alias("oov_rate")))
+
+
+def _sql_oov_rate() -> str:
+    return rf"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '(\S+)', 1)) AS tok
+  FROM documents WHERE text IS NOT NULL),
+vocab AS (
+  SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok)
+  ORDER BY c DESC, tok ASC LIMIT {_OOV_VOCAB_K})
+SELECT source, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN tok IN (SELECT tok FROM vocab)
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+       round(avg(CASE WHEN tok IN (SELECT tok FROM vocab)
+                      THEN 0.0 ELSE 1.0 END), 6) AS oov_rate
+FROM toks GROUP BY source
+"""
+
+
+def q_ngram_diversity_documents(spark, sf_dir):
+    """Distinct-n lexical diversity (the NLG distinct-1/2/3 metric, Li
+    et al. 2016) per document — a repetition/degeneracy signal computed
+    as a ZERO-SHUFFLE projection: token and shingle arrays are built and
+    deduplicated per row, nothing leaves the scan stage."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"(\S+)"), 1))
+        >= 3)
+    from .operators.dedup import shingles_expr, tokens_expr
+    t1 = tokens_expr(F.col("text"))
+    t2 = shingles_expr(F.col("text"), 2)
+    t3 = shingles_expr(F.col("text"), 3)
+    return docs.select(
+        "doc_id",
+        F.size(t1).cast("long").alias("n_tokens"),
+        F.round(F.size(F.array_distinct(t1))
+                / F.size(t1).cast("double"), 6).alias("distinct_1"),
+        F.round(F.size(F.array_distinct(t2))
+                / F.size(t2).cast("double"), 6).alias("distinct_2"),
+        F.round(F.size(F.array_distinct(t3))
+                / F.size(t3).cast("double"), 6).alias("distinct_3"))
+
+
+def _sql_ngram_diversity() -> str:
+    return r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '(\S+)', 1) AS tl
+  FROM documents),
+g AS (
+  SELECT doc_id, tl,
+         list_transform(range(1, len(tl)), i -> tl[i] || ' ' || tl[i+1])
+           AS g2,
+         list_transform(range(1, len(tl) - 1),
+                        i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+           AS g3
+  FROM t WHERE len(tl) >= 3)
+SELECT doc_id, CAST(len(tl) AS BIGINT) AS n_tokens,
+       round(len(list_distinct(tl)) / CAST(len(tl) AS DOUBLE), 6)
+         AS distinct_1,
+       round(len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE), 6)
+         AS distinct_2,
+       round(len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 6)
+         AS distinct_3
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5205,6 +5296,9 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "corpus_report_documents": (q_corpus_report_documents,
                                 _sql_corpus_report()),
     "bloom_novel_documents": (q_bloom_novel_documents, SQL_BLOOM_NOVEL),
+    "oov_rate_documents": (q_oov_rate_documents, _sql_oov_rate()),
+    "ngram_diversity_documents": (q_ngram_diversity_documents,
+                                  _sql_ngram_diversity()),
 }
 
 # The external correctness driver certifies only the FIRST
@@ -5290,6 +5384,8 @@ _NEVER_CERTIFIED = [
     "fingerprint_neardup_verified",
     "corpus_report_documents",
     "bloom_novel_documents",
+    "oov_rate_documents",
+    "ngram_diversity_documents",
 ]
 
 
