@@ -52,28 +52,47 @@ def winnow_fingerprints(
     ``(id, fp_pos, fp_hash)``, distinct.
 
     ``k`` is the token-gram length, ``window`` the winnowing window (in
-    grams).  Documents with fewer than ``k + window - 1`` tokens still
-    emit fingerprints for the grams they do have (the standard "short
-    document" degenerate case: every gram's window is truncated at the
-    end of the document: complete windows are kept when they exist;
-    a document shorter than one full window selects the single
-    minimum over all its grams via the position-0 truncated window).
+    grams).  Documents with fewer than ``k`` tokens have no k-grams and
+    emit NOTHING; documents with at least ``k`` but fewer than
+    ``k + window - 1`` tokens still emit fingerprints for the grams they
+    do have (the standard "short document" degenerate case: complete
+    windows are kept when they exist; a document shorter than one full
+    window selects the single minimum over all its grams via the
+    position-0 truncated window).
     """
     if hash_mode not in ("md5", "xxhash64"):
         raise ValueError(f"hash_mode must be 'md5' or 'xxhash64', "
                          f"got {hash_mode!r}")
+    from .dedup import tokens_expr
+
     h = _hash_fn(hash_mode, 0)
     grams = shingles_expr(F.col(text_col), n=k)
-    base = df.select(F.col(id_col).alias("id"), grams.alias("_grams"))
+    # shingles_expr falls back to one whole-text gram for documents with
+    # fewer than k tokens; a 1-token (or empty) document has no k-grams
+    # and must emit NOTHING — otherwise every short/empty document
+    # fingerprints its (often identical) remnant text and floods the
+    # overlap report with bogus pairs
+    base = (df.filter(F.size(tokens_expr(F.col(text_col))) >= k)
+            .select(F.col(id_col).alias("id"), grams.alias("_grams")))
     occs = (base
             .select("id", F.size("_grams").alias("_n"),
                     F.posexplode("_grams").alias("pos", "gram"))
             .select("id", "_n", "pos", h(F.col("gram")).alias("_h")))
     if hash_mode == "md5":
         # md5 slice is a 32-bit non-negative value: pack (hash asc,
-        # pos desc) into one long so the sliding min is scalar
+        # pos desc) into one long so the sliding min is scalar.  The
+        # packing is only valid for pos < 2^21 (2M grams per document);
+        # past that the subtraction would borrow into the hash bits and
+        # SILENTLY corrupt the ordering — fail the task loudly instead
+        # (xxhash64 mode's struct key has no position bound)
         key = (F.col("_h") * (1 << _POS_BITS)
                + (F.lit(_POS_CAP) - F.col("pos")))
+        occs = occs.withColumn(
+            "_h", F.when(F.col("pos") < _POS_CAP, F.col("_h")).otherwise(
+                F.assert_true(F.col("pos") < _POS_CAP,
+                              F.lit("winnow md5 mode: document exceeds "
+                                    "2^21 grams; use hash_mode='xxhash64'")
+                              ).cast("long")))
         w = (Window.partitionBy("id").orderBy("pos")
              .rowsBetween(Window.currentRow, window - 1))
         sel = occs.select(

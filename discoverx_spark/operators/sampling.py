@@ -313,7 +313,18 @@ def doremi_step(df: DataFrame, group_col: str, loss: Column,
              .agg(F.count(F.lit(1)).alias("n_units"),
                   F.avg(F.greatest(loss - ref_loss, F.lit(0.0)))
                   .alias("excess_loss")))
-    j = stats.join(F.broadcast(prior), group_col, "inner")
+    # the prior's domain universe is authoritative: a domain with no
+    # rows this step keeps its (smoothed) prior mass via excess 0 — an
+    # inner join would silently drop it and renormalize over a DIFFERENT
+    # universe than the caller's prior.  Data domains absent from the
+    # prior are excluded (weight 0 by omission, as in mixing_rates).
+    j = (prior.join(F.broadcast(stats), group_col, "left")
+         .select(group_col,
+                 F.coalesce(F.col("n_units"), F.lit(0).cast("long"))
+                 .alias("n_units"),
+                 F.coalesce(F.col("excess_loss"), F.lit(0.0))
+                 .alias("excess_loss"),
+                 "_prior"))
     unnorm = F.col("_prior") * F.exp(F.lit(eta) * F.col("excess_loss"))
     win = Window.partitionBy()
     k = F.count(F.lit(1)).over(win)

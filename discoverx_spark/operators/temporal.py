@@ -82,22 +82,33 @@ def asof_join(
         raise ValueError(
             "asof_join needs right_order (a unique right-side column) so "
             "ties among simultaneous right rows break deterministically")
+    from pyspark.sql.types import StructField, StructType
+
     lcols = left.columns
+    # the whole right payload rides as ONE struct: carrying each column
+    # with its own last(ignorenulls) would skip a legitimately-NULL
+    # payload field in the true match and splice in a staler row's value
+    # (a chimera of two right rows); the struct is null exactly on left
+    # rows, so row-atomic carry is preserved
+    rtype = StructType(
+        [StructField(c, right.schema[c].dataType) for c in payload]
+        + [StructField("_rts", right.schema[right_ts].dataType)])
     tagged_l = left.select(
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in payload],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+        F.lit(None).cast(rtype).alias("_r"),
         F.lit(1).alias("_is_left"),
         F.col(left_ts).alias("_ts"),
         F.lit(None).cast("long").alias("_ord"),
     )
-    tagged_r = right.select(
+    # SQL join semantics: a NULL key never matches, so null-key right
+    # rows are dropped (null-key left rows land in their own partition
+    # with no right rows and keep a NULL match)
+    tagged_r = right.filter(F.col(on).isNotNull()).select(
         *[(F.col(on) if c == on else
            F.lit(None).cast(left.schema[c].dataType)).alias(c)
           for c in lcols],
-        *[F.col(c).alias(f"_r_{c}") for c in payload],
-        F.col(right_ts).alias("_r_ts"),
+        F.struct(*[F.col(c).alias(c) for c in payload],
+                 F.col(right_ts).alias("_rts")).alias("_r"),
         F.lit(0).alias("_is_left"),
         F.col(right_ts).alias("_ts"),
         F.col(right_order).cast("long").alias("_ord"),
@@ -109,24 +120,18 @@ def asof_join(
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = unioned.select(
         *lcols, "_is_left", "_ts",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
-          for c in payload],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_m_ts"),
+        F.last("_r", ignorenulls=True).over(w).alias("_m"),
     )
     out = carried.filter(F.col("_is_left") == 1)
     if tolerance is not None:
-        stale = F.col("_m_ts") < (F.col("_ts") - tolerance)
-        out = out.select(
-            *lcols,
-            *[F.when(stale, F.lit(None)).otherwise(F.col(f"_m_{c}"))
-              .alias(f"_m_{c}") for c in payload],
-            F.when(stale, F.lit(None)).otherwise(F.col("_m_ts"))
-            .alias("_m_ts"),
-        )
+        stale = F.col("_m._rts") < (F.col("_ts") - tolerance)
+        out = out.withColumn(
+            "_m", F.when(stale, F.lit(None).cast(rtype))
+            .otherwise(F.col("_m")))
     return out.select(*lcols,
-                      *[F.col(f"_m_{c}").alias(f"matched_{c}")
+                      *[F.col(f"_m.{c}").alias(f"matched_{c}")
                         for c in payload],
-                      F.col("_m_ts").alias("matched_ts"))
+                      F.col("_m._rts").alias("matched_ts"))
 
 
 def range_join_binned(
@@ -170,6 +175,11 @@ def range_join_binned(
         return F.unix_micros(F.col(c).cast("timestamp"))
 
     p = points.withColumn("_bin", F.floor(_us(point_ts) / usec))
+    # guard inverted/empty intervals BEFORE the explode: sequence() with
+    # hi < lo defaults to step -1 and would generate an unbounded
+    # DESCENDING bin list per bad row (the residual filter would discard
+    # the rows, but only after the explosion)
+    intervals = intervals.filter(F.col(end) > F.col(start))
     iv = intervals.withColumn(
         "_bins",
         F.sequence(

@@ -34,7 +34,7 @@ from .functions.text import (bpe_token_estimate_expr, fingerprint_expr,
                              quality_classifier_expr, quality_classifier_sql,
                              token_count_expr)
 from .operators.dedup import (lsh_candidate_pairs, minhash_signatures,
-                              simhash_expr)
+                              simhash_expr, tokens_expr)
 from .operators.similarity import brute_force_topk, cosine_expr
 from .rules import GLOBAL_RULES, LOCALIZED_RULES
 from .scanner import classify_scores
@@ -4605,7 +4605,7 @@ def q_winnow_fingerprints_documents(spark, sf_dir):
     family for oracle parity (production twin: xxhash64)."""
     from .operators.fingerprint import winnow_fingerprints
     docs = _t(spark, sf_dir, "documents").filter(
-        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"(\S+)"), 1))
+        F.size(tokens_expr(F.col("text")))
         >= _WIN_K)
     return (winnow_fingerprints(docs, "text", "doc_id",
                                 k=_WIN_K, window=_WIN_W, hash_mode="md5")
@@ -4653,7 +4653,7 @@ def q_fingerprint_overlap_pairs(spark, sf_dir):
     generator."""
     from .operators.fingerprint import fingerprint_overlap_pairs
     docs = _t(spark, sf_dir, "documents").filter(
-        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"(\S+)"), 1))
+        F.size(tokens_expr(F.col("text")))
         >= _WIN_K)
     return fingerprint_overlap_pairs(
         docs, "text", "doc_id", k=_WIN_K, window=_WIN_W,
@@ -4748,7 +4748,7 @@ def q_token_budget_select_documents(spark, sf_dir):
     single-partition window."""
     from .operators.sampling import token_budget_select
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    toks = F.regexp_extract_all(F.lower("text"), F.lit(r"(\S+)"), 1)
+    toks = tokens_expr(F.col("text"))
     prepared = docs.select(
         "doc_id",
         F.size(F.array_distinct(toks)).cast("long").alias("_score"),
@@ -4819,7 +4819,7 @@ def q_doremi_step_documents(spark, sf_dir):
     smoothing c=0.1."""
     from .operators.sampling import doremi_step
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    toks = F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"(\S+)"), 1))
+    toks = F.size(tokens_expr(F.col("text")))
     loss = F.col("n_chars").cast("double") / (toks.cast("double") + 1.0)
     weights = {f"src{i}": 1.0 for i in range(20)}
     return doremi_step(docs, "source", loss,
@@ -4839,9 +4839,11 @@ stats AS (
   FROM documents WHERE text IS NOT NULL
   GROUP BY source),
 j AS (
-  SELECT s.source, s.n_units, s.excess,
-         prior.p * exp({_DOREMI_ETA} * s.excess) AS unnorm
-  FROM stats s JOIN prior USING (source))
+  -- prior universe is authoritative: absent domains keep excess 0
+  SELECT prior.source, coalesce(s.n_units, 0) AS n_units,
+         coalesce(s.excess, 0.0) AS excess,
+         prior.p * exp({_DOREMI_ETA} * coalesce(s.excess, 0.0)) AS unnorm
+  FROM prior LEFT JOIN stats s USING (source))
 SELECT source, n_units,
        round(excess, 6) AS excess_loss,
        round((1.0 - {_DOREMI_SMOOTH}) * unnorm / sum(unnorm) OVER ()
@@ -4861,7 +4863,7 @@ def q_fingerprint_neardup_verified(spark, sf_dir):
     from .operators.dedup import jaccard_pairs
     from .operators.fingerprint import fingerprint_overlap_pairs
     docs = _t(spark, sf_dir, "documents").filter(
-        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"(\S+)"), 1))
+        F.size(tokens_expr(F.col("text")))
         >= _WIN_K)
     cands = fingerprint_overlap_pairs(
         docs, "text", "doc_id", k=_WIN_K, window=_WIN_W,
@@ -4912,7 +4914,7 @@ def q_corpus_report_documents(spark, sf_dir):
     aggregation branches (each column-pruned) joined on the
     domain-count-sized key."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    nt = F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"(\S+)"), 1))
+    nt = F.size(tokens_expr(F.col("text")))
     ok = ((F.col("n_chars") >= _REPORT_GATE_MIN_CHARS)
           & (F.col("n_chars") <= _REPORT_GATE_MAX_CHARS)).cast("int")
     base = docs.select("source", "lang",
@@ -5053,9 +5055,9 @@ def q_ngram_diversity_documents(spark, sf_dir):
     as a ZERO-SHUFFLE projection: token and shingle arrays are built and
     deduplicated per row, nothing leaves the scan stage."""
     docs = _t(spark, sf_dir, "documents").filter(
-        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"(\S+)"), 1))
+        F.size(tokens_expr(F.col("text")))
         >= 3)
-    from .operators.dedup import shingles_expr, tokens_expr
+    from .operators.dedup import shingles_expr
     t1 = tokens_expr(F.col("text"))
     t2 = shingles_expr(F.col("text"), 2)
     t3 = shingles_expr(F.col("text"), 3)

@@ -99,3 +99,10 @@ def test_invalid_hash_mode_raises(spark):
     docs = _docs(spark, [(1, "a b c d e")])
     with pytest.raises(ValueError, match="hash_mode"):
         winnow_fingerprints(docs, "text", "doc_id", hash_mode="sha1")
+
+
+def test_sub_k_token_documents_emit_nothing(spark):
+    docs = _docs(spark, [(1, "one two"), (2, ""), (3, None),
+                         (4, "a b c d e f g")])
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=K, window=W)
+    assert {r["id"] for r in fps.collect()} == {4}

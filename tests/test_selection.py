@@ -100,3 +100,17 @@ def test_dedup_keep_best_elects_max_score_min_id(spark):
     assert set(got) == {2, 4}
     assert got[2] == (30, 3)
     assert got[4] == (7, 1)
+
+
+def test_doremi_absent_domain_keeps_prior_mass(spark):
+    df = spark.createDataFrame([("a", 8.0), ("b", 5.0)],
+                               "dom string, loss double")
+    out = doremi_step(df, "dom", F.col("loss"), F.lit(6.0),
+                      {"a": 1.0, "b": 1.0, "c": 1.0}, eta=1.0,
+                      smoothing=0.0)
+    got = {r["dom"]: r for r in out.collect()}
+    assert set(got) == {"a", "b", "c"}        # c has no rows but stays
+    assert got["c"]["n_units"] == 0 and got["c"]["excess_loss"] == 0.0
+    assert abs(sum(r["weight"] for r in got.values()) - 1.0) < 1e-5
+    # zero-excess domains share the same weight; a's excess raises it
+    assert got["b"]["weight"] == got["c"]["weight"] < got["a"]["weight"]

@@ -107,3 +107,41 @@ def test_range_join_subsecond_end_boundary(spark):
     out = range_join_binned(points, intervals, on="k", point_ts="ts",
                             start="w_start", end="w_end", bin_seconds=600)
     assert [r["pid"] for r in out.collect()] == [1]
+
+
+def test_asof_null_payload_not_overwritten_by_staler_row(spark):
+    # the true as-of match has a NULL payload field; a per-column
+    # ignorenulls carry would splice in the older row's value
+    left = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-01 10:30:00"))], "lid long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, "k", _ts("2024-01-01 09:00:00"), "stale"),
+         (11, "k", _ts("2024-01-01 10:00:00"), None)],
+        "rid long, k string, rts timestamp, payload string")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                    payload=["rid", "payload"], right_order="rid").collect()[0]
+    assert out["matched_rid"] == 11
+    assert out["matched_payload"] is None      # NOT 'stale'
+
+
+def test_asof_null_keys_never_match(spark):
+    left = spark.createDataFrame(
+        [(1, None, _ts("2024-01-01 10:00:00"))],
+        "lid long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, None, _ts("2024-01-01 09:00:00"), "x")],
+        "rid long, k string, rts timestamp, payload string")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                    payload=["payload"], right_order="rid").collect()
+    assert len(out) == 1 and out[0]["matched_payload"] is None
+
+
+def test_range_join_inverted_interval_guarded(spark):
+    points = spark.createDataFrame(
+        [("k", _ts("2024-01-01 10:00:00"), 1)], "k string, ts timestamp, pid int")
+    intervals = spark.createDataFrame(
+        [("k", _ts("2025-01-01 00:00:00"), _ts("2024-01-01 00:00:00"), 1)],
+        "k string, w_start timestamp, w_end timestamp, wid int")
+    out = range_join_binned(points, intervals, on="k", point_ts="ts",
+                            start="w_start", end="w_end", bin_seconds=600)
+    assert out.count() == 0   # and no 50k-bin descending explosion
