@@ -310,3 +310,61 @@ def test_ivf_partitioned_corpus_prunes_cells(spark, tmp_path):
     assert probed.select("centroid_id").distinct().count() == 2
     n_cells = corpus.select("centroid_id").distinct().count()
     assert n_cells > 2   # pruning actually skipped partitions
+
+
+def test_asof_join_single_exchange_no_nested_loop(spark):
+    """The as-of join must be ONE shuffle on the key — never a
+    BroadcastNestedLoopJoin (what a naive inequality join plans as)."""
+    from discoverx_spark.queries import q_asof_join_events
+
+    plan = q_asof_join_events(spark, SF) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    from discoverx_spark.queries import q_range_join_error_windows
+
+    plan = q_range_join_error_windows(spark, SF) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_ngram_diversity_zero_shuffle(spark):
+    """Distinct-n ratios are a pure projection: nothing leaves the
+    scan stage."""
+    from discoverx_spark.queries import q_ngram_diversity_documents
+
+    plan = q_ngram_diversity_documents(spark, SF) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0
+
+
+def test_winnow_shuffle_carries_longs_not_grams(spark):
+    """The winnowing window shuffles (id, pos, hash-long) rows only —
+    the gram string is hashed BEFORE the exchange, so text never rides
+    the shuffle."""
+    from discoverx_spark.operators.fingerprint import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = winnow_fingerprints(docs, "text", "doc_id", hash_mode="xxhash64")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the exchange's partitioning/output must not mention the gram col
+    ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert ex and all("gram" not in ln for ln in ex)
+
+
+def test_bloom_probe_single_arrow_stage(spark):
+    """bloom_prefilter_novel evaluates the membership UDF once (lazy
+    checkpoint): the post-cut plan shows at most one ArrowEvalPython per
+    branch and no re-derivation of the probe."""
+    from discoverx_spark.operators.bloom import bloom_prefilter_novel
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .selectExpr("doc_id", "text")
+    index = docs.filter("doc_id % 2 = 0").selectExpr("text AS key")
+    batch = docs.filter("doc_id % 2 = 1").selectExpr("doc_id", "text AS key")
+    plan = bloom_prefilter_novel(batch, index, "key", expected_items=512) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 0  # probe ran pre-checkpoint
