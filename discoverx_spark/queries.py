@@ -5096,6 +5096,30 @@ FROM g
 """
 
 
+def q_dup_size_histogram_documents(spark, sf_dir):
+    """Duplicate-cluster size histogram — the standard dedup audit
+    (how much of the corpus sits in clusters of size 1, 2, 3+): two
+    vocabulary-shaped aggregations (per-fingerprint counts, then
+    per-size rollup), nothing wider than a fingerprint ever shuffles."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    groups = (docs.select(fingerprint_expr("text").alias("fp"))
+              .groupBy("fp").agg(F.count(F.lit(1)).alias("c")))
+    return (groups.groupBy("c")
+            .agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.sum("c").cast("long").alias("n_docs"))
+            .select(F.col("c").alias("cluster_size"), "n_groups", "n_docs"))
+
+
+SQL_DUP_SIZE_HISTOGRAM = r"""
+SELECT c AS cluster_size, COUNT(*) AS n_groups,
+       CAST(SUM(c) AS BIGINT) AS n_docs
+FROM (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             COUNT(*) AS c
+      FROM documents WHERE text IS NOT NULL GROUP BY 1)
+GROUP BY c
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5301,6 +5325,8 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "oov_rate_documents": (q_oov_rate_documents, _sql_oov_rate()),
     "ngram_diversity_documents": (q_ngram_diversity_documents,
                                   _sql_ngram_diversity()),
+    "dup_size_histogram_documents": (q_dup_size_histogram_documents,
+                                     SQL_DUP_SIZE_HISTOGRAM),
 }
 
 # The external correctness driver certifies only the FIRST
@@ -5388,6 +5414,7 @@ _NEVER_CERTIFIED = [
     "bloom_novel_documents",
     "oov_rate_documents",
     "ngram_diversity_documents",
+    "dup_size_histogram_documents",
 ]
 
 
