@@ -301,8 +301,19 @@ def write_baseline_md(result: dict) -> None:
     for k, v in result["queries"].items():
         lines.append(f"| {k} | {v} |")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve hand-written analysis: any section whose header starts
+    # with "## Round-" (the per-round variance addenda) survives the
+    # rewrite — measured numbers above it are regenerated each run
+    addendum = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        idx = old.find("\n## Round-")
+        if idx >= 0:
+            addendum = old[idx:]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n" + addendum)
 
 
 REFERENCE_RULES_PATH = os.environ.get(
