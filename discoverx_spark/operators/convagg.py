@@ -360,3 +360,47 @@ def tool_call_stats(turns: DataFrame,
             .withColumn("keep_tool_gate",
                         (F.col("tool_frac") <= max_tool_frac)
                         & (F.col("max_tool_run") <= max_tool_run)))
+
+
+def turn_latency_stats(turns: DataFrame,
+                       max_gap_s: int = 600) -> DataFrame:
+    """Per-conversation temporal profile over the north-rule ``ts``
+    column: wall-clock duration, the largest inter-turn gap (a session
+    break / stuck-agent signal), and user→assistant response latency
+    (count, total, mean) — the latency analytics an agent-trace pipeline
+    publishes next to its quality gates.
+
+    One conv_id shuffle shared by the lag window and the final
+    aggregate; all arithmetic in exact integer microseconds
+    (``unix_micros``), the mean derived at the end.  ``keep_latency_gate``
+    flags conversations whose largest gap stays within ``max_gap_s``
+    (interrupted/resumed sessions are a different population than live
+    conversations and are usually filtered or split).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = turns.select(
+        "conv_id", "turn_idx", "role", us.alias("_us"),
+        (us - F.lag(us).over(w)).alias("_gap"),
+        ((F.col("role") == "assistant")
+         & (F.lag("role").over(w) == "user")).alias("_resp"))
+    agg = (base.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        (F.max("_us") - F.min("_us")).alias("duration_us"),
+        F.coalesce(F.max("_gap"), F.lit(0).cast("long"))
+        .alias("max_gap_us"),
+        F.coalesce(F.sum(F.when(F.col("_resp"), F.col("_gap"))),
+                   F.lit(0).cast("long")).alias("response_us_total"),
+        F.sum(F.when(F.col("_resp"), 1).otherwise(0)).cast("long")
+        .alias("n_responses")))
+    return agg.select(
+        "conv_id", "n_turns", "duration_us", "max_gap_us",
+        "n_responses", "response_us_total",
+        F.when(F.col("n_responses") > 0,
+               F.round(F.col("response_us_total")
+                       / F.col("n_responses").cast("double"), 6))
+        .alias("avg_response_us"),
+        (F.col("max_gap_us") <= max_gap_s * 1_000_000)
+        .alias("keep_latency_gate"))

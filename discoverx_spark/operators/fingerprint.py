@@ -171,3 +171,43 @@ def fingerprint_overlap_pairs(
              .agg(F.count(F.lit(1)).alias("shared_fps"))
              .filter(F.col("shared_fps") >= min_shared))
     return pairs
+
+
+def incremental_fingerprint_overlap(
+    batch: DataFrame,
+    index_fps: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_hash_freq: int = 256,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Incremental MOSS probe: winnow the NEW batch and report
+    ``(batch_id, index_id, shared_fps)`` pairs against a persisted
+    fingerprint index ``(id, fp_hash)`` — the winnowing member of the
+    incremental family (exact / LSH / line / fingerprint).  The index
+    never self-joins (index×index is never formed); index maintenance is
+    append-only: union the surviving batch's ``winnow_fingerprints(...,
+    positions=False)`` output into the index.
+
+    Hot hashes are capped PER SIDE with window counts (each reusing its
+    side's hash partitioning), so a boilerplate gram that accumulated in
+    the index cannot fan a batch row out into millions of pairs."""
+    bf = winnow_fingerprints(batch, text_col, id_col, k=k, window=window,
+                             hash_mode=hash_mode, positions=False)
+    wfreq = Window.partitionBy("fp_hash")
+
+    def _cap(df: DataFrame) -> DataFrame:
+        return (df.withColumn("_docs", F.count(F.lit(1)).over(wfreq))
+                .filter(F.col("_docs") <= max_hash_freq)
+                .drop("_docs"))
+
+    b = _cap(bf).select("fp_hash", F.col("id").alias("batch_id"))
+    i = _cap(index_fps.select("id", "fp_hash").distinct()) \
+        .select("fp_hash", F.col("id").alias("index_id"))
+    return (b.join(i, "fp_hash")
+            .groupBy("batch_id", "index_id")
+            .agg(F.count(F.lit(1)).alias("shared_fps"))
+            .filter(F.col("shared_fps") >= min_shared))

@@ -5120,6 +5120,95 @@ GROUP BY c
 """
 
 
+def q_turn_latency_stats(spark, sf_dir):
+    """Per-conversation latency analytics over agent transcripts:
+    duration, largest inter-turn gap (stuck-agent / session-break
+    signal), user→assistant response-latency stats, and the max-gap
+    keep gate — exact integer-microsecond arithmetic, one conv_id
+    shuffle shared by window and aggregate."""
+    from .operators.convagg import turn_latency_stats
+    from .transcripts import generate_transcripts
+    turns = generate_transcripts(spark, _CG_CONVS, seed=42)
+    return turn_latency_stats(turns)
+
+
+def _sql_turn_latency_stats() -> str:
+    from .transcripts import generate_transcripts_pandas
+
+    pdf = generate_transcripts_pandas(_CG_CONVS, seed=42)
+    rows = ",\n".join(
+        f"({_sql_lit(c)}, {_sql_lit(int(i))}, {_sql_lit(r)}, "
+        f"TIMESTAMP '{t}')"
+        for c, i, r, t in zip(pdf["conv_id"], pdf["turn_idx"],
+                              pdf["role"], pdf["ts"]))
+    return f"""
+WITH t AS (SELECT * FROM (VALUES
+{rows}
+) AS v(conv_id, turn_idx, role, ts)),
+g AS (
+  SELECT conv_id, turn_idx, role, epoch_us(ts) AS us,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap,
+         (role = 'assistant' AND
+          lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+            = 'user') AS resp
+  FROM t),
+agg AS (
+  SELECT conv_id, COUNT(*) AS n_turns,
+         CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+         CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_us,
+         CAST(coalesce(SUM(CASE WHEN resp THEN gap END), 0) AS BIGINT)
+           AS response_us_total,
+         CAST(SUM(CASE WHEN resp THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_responses
+  FROM g GROUP BY conv_id)
+SELECT conv_id, n_turns, duration_us, max_gap_us, n_responses,
+       response_us_total,
+       CASE WHEN n_responses > 0
+            THEN round(response_us_total / CAST(n_responses AS DOUBLE), 6)
+       END AS avg_response_us,
+       (max_gap_us <= 600000000) AS keep_latency_gate
+FROM agg
+"""
+
+
+def q_incremental_fingerprint_overlap(spark, sf_dir):
+    """Incremental MOSS probe: the odd-id batch winnowed and matched
+    against the even-id fingerprint index — index×index never forms,
+    per-side hot-hash caps bound the fan-out (the winnowing member of
+    the incremental dedup family)."""
+    from .operators.fingerprint import (incremental_fingerprint_overlap,
+                                        winnow_fingerprints)
+    docs = _t(spark, sf_dir, "documents")
+    index_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    index_fps = winnow_fingerprints(index_docs, "text", "doc_id",
+                                    k=_WIN_K, window=_WIN_W,
+                                    hash_mode="md5", positions=False)
+    return incremental_fingerprint_overlap(
+        batch, index_fps, "text", "doc_id", k=_WIN_K, window=_WIN_W,
+        min_shared=_FP_MIN_SHARED, max_hash_freq=_FP_MAX_FREQ,
+        hash_mode="md5")
+
+
+def _sql_incremental_fp_overlap() -> str:
+    return _sql_winnow(inner_only=True) + rf""",
+bh AS (SELECT DISTINCT doc_id, fp_hash FROM fps WHERE doc_id % 2 = 1),
+ih AS (SELECT DISTINCT doc_id, fp_hash FROM fps WHERE doc_id % 2 = 0),
+bok AS (SELECT * FROM bh WHERE fp_hash IN (
+          SELECT fp_hash FROM bh GROUP BY fp_hash
+          HAVING count(*) <= {_FP_MAX_FREQ})),
+iok AS (SELECT * FROM ih WHERE fp_hash IN (
+          SELECT fp_hash FROM ih GROUP BY fp_hash
+          HAVING count(*) <= {_FP_MAX_FREQ}))
+SELECT b.doc_id AS batch_id, i.doc_id AS index_id,
+       count(*) AS shared_fps
+FROM bok b JOIN iok i USING (fp_hash)
+GROUP BY b.doc_id, i.doc_id
+HAVING count(*) >= {_FP_MIN_SHARED}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5327,6 +5416,10 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
                                   _sql_ngram_diversity()),
     "dup_size_histogram_documents": (q_dup_size_histogram_documents,
                                      SQL_DUP_SIZE_HISTOGRAM),
+    "turn_latency_stats": (q_turn_latency_stats,
+                           _sql_turn_latency_stats()),
+    "incremental_fingerprint_overlap": (q_incremental_fingerprint_overlap,
+                                        _sql_incremental_fp_overlap()),
 }
 
 # The external correctness driver certifies only the FIRST
@@ -5415,6 +5508,8 @@ _NEVER_CERTIFIED = [
     "oov_rate_documents",
     "ngram_diversity_documents",
     "dup_size_histogram_documents",
+    "turn_latency_stats",
+    "incremental_fingerprint_overlap",
 ]
 
 

@@ -106,3 +106,27 @@ def test_sub_k_token_documents_emit_nothing(spark):
                          (4, "a b c d e f g")])
     fps = winnow_fingerprints(docs, "text", "doc_id", k=K, window=W)
     assert {r["id"] for r in fps.collect()} == {4}
+
+
+def test_incremental_overlap_probes_index_only(spark):
+    from discoverx_spark.operators.fingerprint import (
+        incremental_fingerprint_overlap, winnow_fingerprints)
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    index_docs = _docs(spark, [
+        (0, f"{shared} one two three"),
+        (2, f"{shared} four five six"),       # near-dup inside the index
+        (4, "totally different content words here"),
+    ])
+    batch = _docs(spark, [
+        (1, f"intro {shared} outro words"),
+        (3, "no overlap with anything stored previously at all"),
+    ])
+    idx = winnow_fingerprints(index_docs, "text", "doc_id", k=K, window=W,
+                              positions=False)
+    out = incremental_fingerprint_overlap(batch, idx, "text", "doc_id",
+                                          k=K, window=W, min_shared=1)
+    got = {(r["batch_id"], r["index_id"]) for r in out.collect()}
+    assert (1, 0) in got and (1, 2) in got
+    # index near-dups never pair with each other (index x index not formed)
+    assert all(b in (1, 3) for b, _ in got)
+    assert not any(b == 3 for b, _ in got)
