@@ -404,3 +404,32 @@ def turn_latency_stats(turns: DataFrame,
         .alias("avg_response_us"),
         (F.col("max_gap_us") <= max_gap_s * 1_000_000)
         .alias("keep_latency_gate"))
+
+
+def conversation_context_windows(turns: DataFrame,
+                                 window_turns: int = 4) -> DataFrame:
+    """Training-example construction over agent transcripts: for every
+    turn, the role-tagged concatenation of the last ``window_turns``
+    turns (inclusive) of its conversation, in turn order — the sliding
+    context window a fine-tuning pipeline feeds the tokenizer.
+
+    One conv_id shuffle; the window's ``collect_list`` assembles at most
+    ``window_turns`` short strings per row, so the state is bounded by
+    the window, not the conversation (a 10^4-turn agent trace costs the
+    same per row as a 6-turn chat).  Null texts render as empty strings
+    (``concat_ws`` would silently DROP the null element and glue the
+    role tag to the next turn).
+    """
+    if window_turns < 1:
+        raise ValueError(f"window_turns must be >= 1, got {window_turns}")
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx")
+         .rowsBetween(-(window_turns - 1), Window.currentRow))
+    tagged = F.concat(F.col("role"), F.lit(": "),
+                      F.coalesce(F.col("text"), F.lit("")))
+    return turns.select(
+        "conv_id", "turn_idx",
+        F.count(F.lit(1)).over(w).cast("int").alias("n_context_turns"),
+        F.array_join(F.collect_list(tagged).over(w), "\n")
+        .alias("context_text"))

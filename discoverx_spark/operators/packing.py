@@ -152,3 +152,62 @@ def domain_divergence(df: DataFrame, group_col: str,
                  F.round(F.sum(js_term)
                          + 0.5 * (1.0 - F.sum(q)) * ln2, 6)
                  .alias("js_vs_corpus")))
+
+
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_tokens: int, overlap_tokens: int = 0) -> DataFrame:
+    """Split long documents into token chunks of ``chunk_tokens`` with
+    ``overlap_tokens`` carried between consecutive chunks — the chunking
+    step of an embedding / retrieval-indexing pipeline.
+
+    Shuffle-based formulation that survives Catalyst's lambda inlining:
+    tokens posexplode to (id, pos, token) short rows, each token maps to
+    the 1-2 chunks containing it (stride ``chunk - overlap``), and one
+    groupBy (id, chunk) rebuilds chunk texts with a sorted fold.  A
+    per-row ``transform(sequence(...), slice(...))`` projection would
+    re-evaluate the token array per chunk (the shingles_expr lesson);
+    here the array is evaluated once per document, pre-explode.
+
+    Chunks are left-aligned: chunk c covers positions
+    ``[c*stride, c*stride + chunk_tokens)``.  A trailing chunk that
+    contributes no NEW tokens (its fresh region ``c*stride + overlap``
+    starts at or past the end) is dropped, so every token appears in at
+    least one chunk and the final chunk is never a strict subset of its
+    predecessor.
+
+    Returns ``(id, chunk_idx, n_chunk_tokens, chunk_text)``.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"overlap_tokens must be in [0, chunk_tokens), got "
+            f"{overlap_tokens}")
+    stride = chunk_tokens - overlap_tokens
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"(\S+)"), 1)
+    exploded = (df.select(F.col(id_col).alias("id"),
+                          F.size(toks).alias("_n"),
+                          F.posexplode(toks).alias("pos", "tok")))
+    # chunks containing position p: c in [max(0, ceil((p - chunk + 1) /
+    # stride)), floor(p / stride)] — at most ceil(chunk/stride) values,
+    # 2 for overlap < chunk/2
+    lo = F.greatest(F.lit(0),
+                    F.ceil((F.col("pos") - chunk_tokens + 1)
+                           / F.lit(stride)).cast("long"))
+    hi = F.floor(F.col("pos") / stride).cast("long")
+    chunks = (exploded
+              .withColumn("chunk_idx", F.explode(F.sequence(lo, hi)))
+              # drop a trailing chunk that would only replay the overlap
+              .filter((F.col("chunk_idx") == 0)
+                      | (F.col("chunk_idx") * stride + overlap_tokens
+                         < F.col("_n")))
+              .groupBy("id", "chunk_idx")
+              .agg(F.count(F.lit(1)).alias("n_chunk_tokens"),
+                   F.array_join(
+                       F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct(F.col("pos").alias("p"),
+                                        F.col("tok").alias("t")))),
+                           lambda s: s["t"]),
+                       " ").alias("chunk_text")))
+    return chunks.withColumn("chunk_idx", F.col("chunk_idx").cast("int"))

@@ -5209,6 +5209,86 @@ HAVING count(*) >= {_FP_MIN_SHARED}
 """
 
 
+_CHUNK_TOKENS = 32
+_CHUNK_OVERLAP = 8
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token chunking for embedding/retrieval indexing:
+    32-token chunks, 8-token overlap, trailing no-new-token chunks
+    dropped; shuffle-based rebuild (the lambda-inlining-safe shape)."""
+    from .operators.packing import chunk_documents
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    out = chunk_documents(docs, "doc_id", "text",
+                          chunk_tokens=_CHUNK_TOKENS,
+                          overlap_tokens=_CHUNK_OVERLAP)
+    return out.select(F.col("id").alias("doc_id"), "chunk_idx",
+                      "n_chunk_tokens", "chunk_text")
+
+
+def _sql_chunk_documents() -> str:
+    c, o = _CHUNK_TOKENS, _CHUNK_OVERLAP
+    s = c - o
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '(\S+)', 1) AS t
+  FROM documents WHERE text IS NOT NULL),
+pos AS (
+  SELECT doc_id, len(t) AS n, i - 1 AS p, t[i] AS tok
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)),
+asg AS (
+  SELECT doc_id, p, tok, n,
+         unnest(range(greatest(0, CAST(ceil((p - {c} + 1)
+                                            / CAST({s} AS DOUBLE))
+                                      AS BIGINT)),
+                      (p // {s}) + 1)) AS chunk_idx
+  FROM pos)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       COUNT(*) AS n_chunk_tokens,
+       string_agg(tok, ' ' ORDER BY p) AS chunk_text
+FROM asg
+WHERE chunk_idx = 0 OR chunk_idx * {s} + {o} < n
+GROUP BY doc_id, chunk_idx
+"""
+
+
+_CTX_WINDOW_TURNS = 4
+
+
+def q_conversation_context_windows(spark, sf_dir):
+    """Sliding training-context construction over agent transcripts:
+    each turn paired with the role-tagged concat of its last 4 turns —
+    per-row state bounded by the window, one conv_id shuffle."""
+    from .operators.convagg import conversation_context_windows
+    from .transcripts import generate_transcripts
+    turns = generate_transcripts(spark, _CG_CONVS, seed=42)
+    return conversation_context_windows(turns,
+                                        window_turns=_CTX_WINDOW_TURNS)
+
+
+def _sql_conversation_context_windows() -> str:
+    from .transcripts import generate_transcripts_pandas
+
+    pdf = generate_transcripts_pandas(_CG_CONVS, seed=42)
+    rows = ",\n".join(
+        f"({_sql_lit(c)}, {_sql_lit(int(i))}, {_sql_lit(r)}, {_sql_lit(x)})"
+        for c, i, r, x in zip(pdf["conv_id"], pdf["turn_idx"],
+                              pdf["role"], pdf["text"]))
+    return f"""
+WITH t AS (SELECT * FROM (VALUES
+{rows}
+) AS v(conv_id, turn_idx, role, text))
+SELECT conv_id, turn_idx,
+       CAST(COUNT(*) OVER w AS INTEGER) AS n_context_turns,
+       string_agg(role || ': ' || coalesce(text, ''), chr(10)) OVER w
+         AS context_text
+FROM t
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN {_CTX_WINDOW_TURNS - 1} PRECEDING
+                      AND CURRENT ROW)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5420,6 +5500,9 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
                            _sql_turn_latency_stats()),
     "incremental_fingerprint_overlap": (q_incremental_fingerprint_overlap,
                                         _sql_incremental_fp_overlap()),
+    "chunk_documents": (q_chunk_documents, _sql_chunk_documents()),
+    "conversation_context_windows": (q_conversation_context_windows,
+                                     _sql_conversation_context_windows()),
 }
 
 # The external correctness driver certifies only the FIRST
@@ -5510,6 +5593,8 @@ _NEVER_CERTIFIED = [
     "dup_size_histogram_documents",
     "turn_latency_stats",
     "incremental_fingerprint_overlap",
+    "chunk_documents",
+    "conversation_context_windows",
 ]
 
 

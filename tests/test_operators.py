@@ -1202,3 +1202,25 @@ def test_bm25_batch_rejects_empty_corpus(spark):
                                "query_id long, query string")
     with pytest.raises(ValueError, match="corpus is empty"):
         bm25_topk_batch(empty, "text", "doc_id", qs)
+
+
+def test_conversation_context_windows_semantics(spark):
+    from discoverx_spark.operators.convagg import conversation_context_windows
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", "hi"), ("c1", 1, "assistant", None),
+         ("c1", 2, "user", "more"), ("c1", 3, "assistant", "done"),
+         ("c1", 4, "user", "bye"), ("c2", 0, "user", "solo")],
+        "conv_id string, turn_idx int, role string, text string")
+    out = {(r["conv_id"], r["turn_idx"]): r for r in
+           conversation_context_windows(turns, window_turns=3).collect()}
+    assert out[("c1", 0)]["context_text"] == "user: hi"
+    # null text renders as empty, not dropped
+    assert out[("c1", 1)]["context_text"] == "user: hi\nassistant: "
+    assert out[("c1", 4)]["context_text"] == \
+        "user: more\nassistant: done\nuser: bye"
+    assert out[("c1", 4)]["n_context_turns"] == 3
+    assert out[("c2", 0)]["context_text"] == "user: solo"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="window_turns"):
+        conversation_context_windows(turns, window_turns=0)

@@ -283,3 +283,39 @@ def test_domain_divergence_single_group_is_zero(spark):
     row = domain_divergence(df, "source", "text").collect()[0]
     # P == Q -> both divergences exactly 0 (coverage term vanishes)
     assert row["kl_vs_corpus"] == 0.0 and row["js_vs_corpus"] == 0.0
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from discoverx_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=4,
+                          overlap_tokens=2)
+    rows = {r["chunk_idx"]: r for r in out.collect()}
+    # stride 2 over 10 tokens; trailing chunk at start 8 has no new
+    # tokens beyond overlap? start 8 + overlap 2 = 10 >= n -> dropped
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert rows[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[1]["chunk_text"] == "t2 t3 t4 t5"
+    assert rows[3]["chunk_text"] == "t6 t7 t8 t9"
+    # every token appears in at least one chunk
+    seen = set()
+    for r in rows.values():
+        seen.update(r["chunk_text"].split())
+    assert seen == {f"t{i}" for i in range(10)}
+
+
+def test_chunk_documents_no_overlap_and_validation(spark):
+    import pytest as _pytest
+
+    from discoverx_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=2)
+    got = sorted((r["chunk_idx"], r["chunk_text"]) for r in out.collect())
+    assert got == [(0, "a b"), (1, "c d"), (2, "e")]
+    with _pytest.raises(ValueError, match="overlap_tokens"):
+        chunk_documents(df, "doc_id", "text", 4, 4)
+    with _pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, "doc_id", "text", 0)
