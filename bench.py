@@ -74,8 +74,10 @@ HEADLINE = [
     "kneser_ney_documents",
     # round-5 (late): winnowing-fingerprint near-dup with exact Jaccard
     # verification (fourth dedup family) and the per-source corpus
-    # datasheet composition
-    "fingerprint_neardup_verified", "corpus_report_documents",
+    # datasheet composition; the xxhash64 twin is the production hash
+    # family (bench-only, like the other _sf twins)
+    "fingerprint_neardup_verified", "fingerprint_neardup_xxhash_sf",
+    "corpus_report_documents",
 ]
 
 

@@ -4855,6 +4855,24 @@ FROM j
 _FP_VERIFY_THRESHOLD = 0.15
 
 
+def q_fingerprint_neardup_xxhash_sf(spark, sf_dir):
+    """Bench-only production twin of `fingerprint_neardup_verified`:
+    xxhash64 winnowing keys (struct sliding-min, no position bound), so
+    the per-document window shuffles longs from the fast JVM hash family
+    — the md5 variant above is the oracle-checked version (NOT in
+    QUERIES; bench.py resolves it by name)."""
+    from .operators.dedup import jaccard_pairs
+    from .operators.fingerprint import fingerprint_overlap_pairs
+    docs = _t(spark, sf_dir, "documents")
+    cands = fingerprint_overlap_pairs(
+        docs, "text", "doc_id", k=_WIN_K, window=_WIN_W,
+        min_shared=_FP_MIN_SHARED, max_hash_freq=_FP_MAX_FREQ,
+        hash_mode="xxhash64").select("id_a", "id_b")
+    return jaccard_pairs(docs, "text", "doc_id", candidates=cands,
+                         shingle_n=_WIN_K,
+                         threshold=_FP_VERIFY_THRESHOLD)
+
+
 def q_fingerprint_neardup_verified(spark, sf_dir):
     """MOSS near-dup in composition: winnowed-fingerprint overlap
     candidates (capped hot hashes) verified with EXACT 3-gram Jaccard —
