@@ -253,6 +253,11 @@ def test_registry_wide_plan_budgets(spark):
         # per-(source,lang) + per-source rollup, per-(source,fp) +
         # per-source rollup) + two broadcast joins on the 20-row key
         "corpus_report_documents": 14,
+        # TWO winnowing chains (batch + the index built in the query's
+        # setup: window + distinct each) + per-side window caps + the
+        # probe join + pair groupBy — the probe itself adds only the
+        # last two
+        "incremental_fingerprint_overlap": 8,
     }
     default_budget = 5
     for name, (fn, _sql) in QUERIES.items():
