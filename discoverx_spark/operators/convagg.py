@@ -426,7 +426,10 @@ def conversation_context_windows(turns: DataFrame,
 
     w = (Window.partitionBy("conv_id").orderBy("turn_idx")
          .rowsBetween(-(window_turns - 1), Window.currentRow))
-    tagged = F.concat(F.col("role"), F.lit(": "),
+    # role is coalesced too: a null role would null the whole concat and
+    # collect_list would silently DROP the turn from context_text while
+    # n_context_turns still counts it
+    tagged = F.concat(F.coalesce(F.col("role"), F.lit("")), F.lit(": "),
                       F.coalesce(F.col("text"), F.lit("")))
     return turns.select(
         "conv_id", "turn_idx",

@@ -39,6 +39,17 @@ _POS_BITS = 21
 _POS_CAP = (1 << _POS_BITS) - 1
 
 
+def _cap_hot_hashes(fps: DataFrame, max_hash_freq: int) -> DataFrame:
+    """Drop fingerprint hashes present in more than ``max_hash_freq``
+    rows (boilerplate grams) with a WINDOW count over the fp_hash
+    partition — O(1) per-row state, and the exchange is the same
+    partitioning the downstream hash join needs."""
+    w = Window.partitionBy("fp_hash")
+    return (fps.withColumn("_docs", F.count(F.lit(1)).over(w))
+            .filter(F.col("_docs") <= max_hash_freq)
+            .drop("_docs"))
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str,
@@ -155,14 +166,10 @@ def fingerprint_overlap_pairs(
     10⁸ documents costs nothing but its (discarded) rows."""
     fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window,
                               hash_mode=hash_mode, positions=False)
-    wfreq = Window.partitionBy("fp_hash")
     # lazy checkpoint: the self-join references `kept` twice — without
     # the lineage cut each side re-derives the whole winnowing subplan
     # (window + distinct), doubling the operator's cost
-    kept = (fps.withColumn("_docs", F.count(F.lit(1)).over(wfreq))
-            .filter(F.col("_docs") <= max_hash_freq)
-            .drop("_docs")
-            .localCheckpoint(eager=False))
+    kept = _cap_hot_hashes(fps, max_hash_freq).localCheckpoint(eager=False)
     a = kept.select(F.col("fp_hash"), F.col("id").alias("id_a"))
     b = kept.select(F.col("fp_hash"), F.col("id").alias("id_b"))
     pairs = (a.join(b, "fp_hash")
@@ -197,15 +204,10 @@ def incremental_fingerprint_overlap(
     the index cannot fan a batch row out into millions of pairs."""
     bf = winnow_fingerprints(batch, text_col, id_col, k=k, window=window,
                              hash_mode=hash_mode, positions=False)
-    wfreq = Window.partitionBy("fp_hash")
-
-    def _cap(df: DataFrame) -> DataFrame:
-        return (df.withColumn("_docs", F.count(F.lit(1)).over(wfreq))
-                .filter(F.col("_docs") <= max_hash_freq)
-                .drop("_docs"))
-
-    b = _cap(bf).select("fp_hash", F.col("id").alias("batch_id"))
-    i = _cap(index_fps.select("id", "fp_hash").distinct()) \
+    b = _cap_hot_hashes(bf, max_hash_freq) \
+        .select("fp_hash", F.col("id").alias("batch_id"))
+    i = _cap_hot_hashes(index_fps.select("id", "fp_hash").distinct(),
+                        max_hash_freq) \
         .select("fp_hash", F.col("id").alias("index_id"))
     return (b.join(i, "fp_hash")
             .groupBy("batch_id", "index_id")

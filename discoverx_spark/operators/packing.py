@@ -185,8 +185,13 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
             f"{overlap_tokens}")
     stride = chunk_tokens - overlap_tokens
     toks = F.regexp_extract_all(F.col(text_col), F.lit(r"(\S+)"), 1)
+    # NOTHING but the explode may reference the token array: a sibling
+    # size(toks) projection lands ABOVE the Generate in the optimized
+    # plan and re-tokenizes the full text once per OUTPUT ROW (verified
+    # — O(tokens × text) per document).  The trailing-chunk filter
+    # therefore uses max(pos) from the aggregate instead of a
+    # document-length column.
     exploded = (df.select(F.col(id_col).alias("id"),
-                          F.size(toks).alias("_n"),
                           F.posexplode(toks).alias("pos", "tok")))
     # chunks containing position p: c in [max(0, ceil((p - chunk + 1) /
     # stride)), floor(p / stride)] — at most ceil(chunk/stride) values,
@@ -197,17 +202,21 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
     hi = F.floor(F.col("pos") / stride).cast("long")
     chunks = (exploded
               .withColumn("chunk_idx", F.explode(F.sequence(lo, hi)))
-              # drop a trailing chunk that would only replay the overlap
-              .filter((F.col("chunk_idx") == 0)
-                      | (F.col("chunk_idx") * stride + overlap_tokens
-                         < F.col("_n")))
               .groupBy("id", "chunk_idx")
               .agg(F.count(F.lit(1)).alias("n_chunk_tokens"),
+                   F.max("pos").alias("_max_pos"),
                    F.array_join(
                        F.transform(
                            F.array_sort(F.collect_list(
                                F.struct(F.col("pos").alias("p"),
                                         F.col("tok").alias("t")))),
                            lambda s: s["t"]),
-                       " ").alias("chunk_text")))
+                       " ").alias("chunk_text"))
+              # drop a trailing chunk that would only replay the
+              # overlap: it contributes a new token iff some member
+              # position reaches past its overlap region
+              .filter((F.col("chunk_idx") == 0)
+                      | (F.col("_max_pos")
+                         >= F.col("chunk_idx") * stride + overlap_tokens))
+              .drop("_max_pos"))
     return chunks.withColumn("chunk_idx", F.col("chunk_idx").cast("int"))

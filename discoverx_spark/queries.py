@@ -4863,7 +4863,10 @@ def q_fingerprint_neardup_xxhash_sf(spark, sf_dir):
     QUERIES; bench.py resolves it by name)."""
     from .operators.dedup import jaccard_pairs
     from .operators.fingerprint import fingerprint_overlap_pairs
-    docs = _t(spark, sf_dir, "documents")
+    # same >= k-token pre-filter as the md5 twin: the twins exist to
+    # compare hash families, so the jaccard side must see the same rows
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.size(tokens_expr(F.col("text"))) >= _WIN_K)
     cands = fingerprint_overlap_pairs(
         docs, "text", "doc_id", k=_WIN_K, window=_WIN_W,
         min_shared=_FP_MIN_SHARED, max_hash_freq=_FP_MAX_FREQ,
@@ -5298,8 +5301,8 @@ WITH t AS (SELECT * FROM (VALUES
 ) AS v(conv_id, turn_idx, role, text))
 SELECT conv_id, turn_idx,
        CAST(COUNT(*) OVER w AS INTEGER) AS n_context_turns,
-       string_agg(role || ': ' || coalesce(text, ''), chr(10)) OVER w
-         AS context_text
+       string_agg(coalesce(role, '') || ': ' || coalesce(text, ''),
+                  chr(10)) OVER w AS context_text
 FROM t
 WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
              ROWS BETWEEN {_CTX_WINDOW_TURNS - 1} PRECEDING

@@ -361,9 +361,10 @@ def test_winnow_shuffle_carries_longs_not_grams(spark):
 
 
 def test_bloom_probe_single_arrow_stage(spark):
-    """bloom_prefilter_novel evaluates the membership UDF once (lazy
-    checkpoint): the post-cut plan shows at most one ArrowEvalPython per
-    branch and no re-derivation of the probe."""
+    """bloom_prefilter_novel evaluates the membership UDF once, on the
+    checkpointed side of the lineage cut: the post-cut plan must show NO
+    ArrowEvalPython at all (both output branches read the materialized
+    probe column instead of re-running the UDF)."""
     from discoverx_spark.operators.bloom import bloom_prefilter_novel
 
     docs = spark.read.parquet(f"{SF}/documents.parquet") \
@@ -373,3 +374,16 @@ def test_bloom_probe_single_arrow_stage(spark):
     plan = bloom_prefilter_novel(batch, index, "key", expected_items=512) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 0  # probe ran pre-checkpoint
+
+
+def test_chunk_documents_tokenizes_once(spark):
+    """The token array must be evaluated only inside the Generate: a
+    sibling size(toks) projection lands ABOVE the explode and re-runs
+    the full-text regex once per output row (measured O(tokens × text)
+    per document)."""
+    from discoverx_spark.operators.packing import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    opt = chunk_documents(docs, "doc_id", "text", 32, 8) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("regexp_extract_all") == 1
