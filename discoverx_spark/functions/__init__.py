@@ -1,3 +1,5 @@
+from .keywords import (build_automaton, count_matches,
+                       make_keyword_match_udf)
 from .text import (token_count_expr, bpe_token_estimate_expr, char_len_expr,
                    alpha_ratio_expr, digit_ratio_expr, punct_ratio_expr,
                    whitespace_only_expr, fingerprint_expr, normalize_text_expr,
@@ -12,6 +14,7 @@ from .models import (save_char_lm, load_char_lm, save_term_weights,
 from .ngram_lm import word_ngram_counts, stupid_backoff_score
 
 __all__ = [
+    "build_automaton", "count_matches", "make_keyword_match_udf",
     "word_ngram_counts", "stupid_backoff_score",
     "save_char_lm", "load_char_lm", "save_term_weights",
     "load_term_weights", "save_stopwords", "load_stopwords",
