@@ -78,6 +78,9 @@ HEADLINE = [
     # family (bench-only, like the other _sf twins)
     "fingerprint_neardup_verified", "fingerprint_neardup_xxhash_sf",
     "corpus_report_documents",
+    # flagship composition #3: gate → keep-best dedup → span dedup →
+    # chunking, certified under one SQL oracle
+    "dedup_stack_documents",
 ]
 
 

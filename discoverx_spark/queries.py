@@ -5310,6 +5310,104 @@ WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
 """
 
 
+def q_dedup_stack_documents(spark, sf_dir):
+    """Flagship dedup STACK certified in composition: quality gate →
+    keep-best exact dedup (quality argmax per fingerprint) → corpus-wide
+    duplicate-span removal (exact-substring role) → overlapping token
+    chunking for the embedding index.  Four operators, one SQL oracle —
+    the whole-pipeline shape a curation run actually executes, so
+    operator handoffs (column renames, null/empty propagation, case
+    preservation through span rebuild) are certified, not assumed."""
+    from .operators.dedup import dedup_keep_best, span_dedup
+    from .operators.packing import chunk_documents
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & F.col("n_chars").between(_REPORT_GATE_MIN_CHARS,
+                                   _REPORT_GATE_MAX_CHARS))
+    best = dedup_keep_best(docs, "text", "doc_id",
+                           F.col("n_chars").cast("long"))
+    sp = span_dedup(best.select(F.col("id").alias("doc_id"), "text"),
+                    "text", "doc_id", window=_SPAN_W, hash_mode="gram")
+    cleaned = sp.select(F.col("id").alias("doc_id"),
+                        F.col("clean_text").alias("text"))
+    out = chunk_documents(cleaned, "doc_id", "text",
+                          chunk_tokens=_CHUNK_TOKENS,
+                          overlap_tokens=_CHUNK_OVERLAP)
+    return out.select(F.col("id").alias("doc_id"), "chunk_idx",
+                      "n_chunk_tokens", "chunk_text")
+
+
+def _sql_dedup_stack() -> str:
+    w = _SPAN_W
+    c, o = _CHUNK_TOKENS, _CHUNK_OVERLAP
+    s = c - o
+    return rf"""
+WITH gated AS (
+  SELECT doc_id, text, CAST(n_chars AS BIGINT) AS score,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+  WHERE text IS NOT NULL
+    AND n_chars BETWEEN {_REPORT_GATE_MIN_CHARS}
+                    AND {_REPORT_GATE_MAX_CHARS}),
+survivors AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY fp
+                              ORDER BY score DESC, doc_id ASC) AS rn
+    FROM gated)
+  WHERE rn = 1),
+toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '(\S+)', 1) AS tl,
+         regexp_extract_all(text, '(\S+)', 1) AS torig
+  FROM survivors),
+occs AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(tl, i, i + {w - 1}), ' ') AS k
+  FROM (SELECT doc_id, tl, unnest(range(1, len(tl) - {w} + 2)) AS i
+        FROM toks)),
+ranked AS (
+  SELECT doc_id, pos, k,
+         row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY k) AS cnt
+  FROM occs),
+dups AS (
+  SELECT doc_id, list(pos ORDER BY pos) AS dup_pos
+  FROM ranked WHERE cnt > 1 AND rn > 1 GROUP BY doc_id),
+rebuilt AS (
+  SELECT toks.doc_id, toks.torig, toks.tl,
+         list_filter(range(0, len(toks.tl)),
+                     j -> len(list_filter(
+                            coalesce(dups.dup_pos, CAST([] AS BIGINT[])),
+                            p -> p <= j AND j < p + {w})) = 0) AS kept
+  FROM toks LEFT JOIN dups USING (doc_id)),
+spanned AS (
+  SELECT doc_id,
+         coalesce(array_to_string(
+             list_transform(kept, j -> torig[j + 1]), ' '), '') AS text
+  FROM rebuilt),
+ctoks AS (
+  SELECT doc_id, regexp_extract_all(text, '(\S+)', 1) AS t
+  FROM spanned),
+cpos AS (
+  SELECT doc_id, len(t) AS n, i - 1 AS p, t[i] AS tok
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM ctoks)),
+asg AS (
+  SELECT doc_id, p, tok, n,
+         unnest(range(greatest(0, CAST(ceil((p - {c} + 1)
+                                            / CAST({s} AS DOUBLE))
+                                      AS BIGINT)),
+                      (p // {s}) + 1)) AS chunk_idx
+  FROM cpos)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       COUNT(*) AS n_chunk_tokens,
+       string_agg(tok, ' ' ORDER BY p) AS chunk_text
+FROM asg
+WHERE chunk_idx = 0 OR chunk_idx * {s} + {o} < n
+GROUP BY doc_id, chunk_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5524,6 +5622,7 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "chunk_documents": (q_chunk_documents, _sql_chunk_documents()),
     "conversation_context_windows": (q_conversation_context_windows,
                                      _sql_conversation_context_windows()),
+    "dedup_stack_documents": (q_dedup_stack_documents, _sql_dedup_stack()),
 }
 
 # The external correctness driver certifies only the FIRST
@@ -5616,6 +5715,7 @@ _NEVER_CERTIFIED = [
     "incremental_fingerprint_overlap",
     "chunk_documents",
     "conversation_context_windows",
+    "dedup_stack_documents",
 ]
 
 

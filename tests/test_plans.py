@@ -258,6 +258,10 @@ def test_registry_wide_plan_budgets(spark):
         # probe join + pair groupBy — the probe itself adds only the
         # last two
         "incremental_fingerprint_overlap": 8,
+        # four-operator composition: keep-best (fp groupBy + semi join)
+        # + span dedup (gram groupBy + removal join) + chunk explode
+        # groupBy, with each stage's documented exchanges chained
+        "dedup_stack_documents": 12,
     }
     default_budget = 5
     for name, (fn, _sql) in QUERIES.items():
