@@ -4522,6 +4522,48 @@ LEFT JOIN LATERAL (
 """
 
 
+def q_asof_join_tolerance_events(spark, sf_dir):
+    """The as-of join's tolerance path: matches older than 30 minutes
+    are nulled (sentinel -1), certifying the stale-match cutoff — a
+    session-scoped attribution ('credit the view only if it happened
+    within the last half hour')."""
+    from .operators.temporal import asof_join
+    ev = _t(spark, sf_dir, "events")
+    left = (ev.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts"))
+    right = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", F.col("event_id").alias("view_id"), "ts"))
+    out = asof_join(left, right, on="user_id", left_ts="ts",
+                    right_ts="ts", payload=["view_id"],
+                    right_order="view_id",
+                    tolerance=F.expr("INTERVAL 30 MINUTES"))
+    return out.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.coalesce(F.col("matched_view_id"), F.lit(-1).cast("long"))
+        .alias("matched_view_id"),
+        F.coalesce(F.unix_timestamp("matched_ts"), F.lit(-1).cast("long"))
+        .alias("matched_ts_epoch"))
+
+
+SQL_ASOF_TOLERANCE = """
+SELECT p.event_id, p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_epoch,
+       coalesce(m.view_id, -1) AS matched_view_id,
+       coalesce(CAST(floor(epoch(m.ts)) AS BIGINT), -1) AS matched_ts_epoch
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+LEFT JOIN LATERAL (
+    SELECT e.event_id AS view_id, e.ts
+    FROM events e
+    WHERE e.user_id = p.user_id AND e.event_type = 'view'
+      AND e.ts <= p.ts AND e.ts >= p.ts - INTERVAL 30 MINUTES
+    ORDER BY e.ts DESC, e.event_id DESC
+    LIMIT 1
+) m ON TRUE
+"""
+
+
 def q_range_join_error_windows(spark, sf_dir):
     """Binned range join: for each 'error' event, count and sum all
     events of the same user inside the closed-open 10-minute window
@@ -5623,6 +5665,8 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "conversation_context_windows": (q_conversation_context_windows,
                                      _sql_conversation_context_windows()),
     "dedup_stack_documents": (q_dedup_stack_documents, _sql_dedup_stack()),
+    "asof_join_tolerance_events": (q_asof_join_tolerance_events,
+                                   SQL_ASOF_TOLERANCE),
 }
 
 # The external correctness driver certifies only the FIRST
@@ -5716,6 +5760,7 @@ _NEVER_CERTIFIED = [
     "chunk_documents",
     "conversation_context_windows",
     "dedup_stack_documents",
+    "asof_join_tolerance_events",
 ]
 
 
