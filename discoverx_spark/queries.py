@@ -5450,6 +5450,46 @@ GROUP BY doc_id, chunk_idx
 """
 
 
+_GATE_KEYWORDS = ("the", "data", "fehler", "output table")
+
+
+def q_keyword_gate_transcripts(spark, sf_dir):
+    """The Aho-Corasick blocklist gate's kernel on the north-rule
+    transcript payload: per-turn total greedy non-overlapping match
+    count over a mixed word/phrase/multilingual keyword list — the same
+    expression `keyword_gate_stream` filters on at ingest, certified
+    here against a replace-count oracle."""
+    from .functions.keywords import make_keyword_match_udf
+    from .transcripts import generate_transcripts
+    turns = generate_transcripts(spark, _CG_CONVS, seed=42)
+    udf = make_keyword_match_udf(_GATE_KEYWORDS)
+    hits = F.aggregate(udf(F.col("text")), F.lit(0),
+                       lambda acc, m: acc + m["cnt"])
+    return turns.select("conv_id", "turn_idx",
+                        F.coalesce(hits, F.lit(0)).alias("kw_hits"))
+
+
+def _sql_keyword_gate_transcripts() -> str:
+    from .transcripts import generate_transcripts_pandas
+
+    pdf = generate_transcripts_pandas(_CG_CONVS, seed=42)
+    rows = ",\n".join(
+        f"({_sql_lit(c)}, {_sql_lit(int(i))}, {_sql_lit(x)})"
+        for c, i, x in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]))
+    cnt = " + ".join(
+        f"CAST((len(lt) - len(replace(lt, '{k}', ''))) / {len(k)} "
+        f"AS INTEGER)"
+        for k in _GATE_KEYWORDS)
+    return f"""
+WITH t AS (SELECT conv_id, turn_idx, lower(text) AS lt FROM (VALUES
+{rows}
+) AS v(conv_id, turn_idx, text))
+SELECT conv_id, turn_idx,
+       CASE WHEN lt IS NULL THEN 0 ELSE {cnt} END AS kw_hits
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5667,6 +5707,8 @@ QUERIES: Dict[str, Tuple[QueryFn, Optional[str]]] = {
     "dedup_stack_documents": (q_dedup_stack_documents, _sql_dedup_stack()),
     "asof_join_tolerance_events": (q_asof_join_tolerance_events,
                                    SQL_ASOF_TOLERANCE),
+    "keyword_gate_transcripts": (q_keyword_gate_transcripts,
+                                 _sql_keyword_gate_transcripts()),
 }
 
 # The external correctness driver certifies only the FIRST
@@ -5761,6 +5803,7 @@ _NEVER_CERTIFIED = [
     "conversation_context_windows",
     "dedup_stack_documents",
     "asof_join_tolerance_events",
+    "keyword_gate_transcripts",
 ]
 
 
