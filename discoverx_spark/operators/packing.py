@@ -160,13 +160,25 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
     ``overlap_tokens`` carried between consecutive chunks — the chunking
     step of an embedding / retrieval-indexing pipeline.
 
-    Shuffle-based formulation that survives Catalyst's lambda inlining:
-    tokens posexplode to (id, pos, token) short rows, each token maps to
-    the 1-2 chunks containing it (stride ``chunk - overlap``), and one
-    groupBy (id, chunk) rebuilds chunk texts with a sorted fold.  A
-    per-row ``transform(sequence(...), slice(...))`` projection would
-    re-evaluate the token array per chunk (the shingles_expr lesson);
-    here the array is evaluated once per document, pre-explode.
+    ZERO-SHUFFLE formulation: chunking is a per-document projection, so
+    no exchange is fundamentally required — each document explodes into
+    its chunk indices and every chunk is a ``slice`` of the document's
+    token array.  Two Catalyst hazards are engineered around:
+
+    * the token array is produced BY a Generate (``explode(array(toks))``,
+      one row per document) so downstream references are to a generated
+      attribute — an aliased projection would be re-inlined by
+      CollapseProject and re-tokenize the text once per chunk (the
+      shingles_expr lesson);
+    * the chunk-index explode carries the token array through as a
+      column; inside whole-stage codegen the array is a reference into
+      the incoming row, so per-chunk cost is O(chunk_tokens), not
+      O(document).
+
+    (The previous formulation posexploded every token to a row and
+    rebuilt chunks with a groupBy (id, chunk) sorted fold — one full
+    shuffle of the corpus text plus a per-chunk sort, removed outright;
+    guide §2.4.)
 
     Chunks are left-aligned: chunk c covers positions
     ``[c*stride, c*stride + chunk_tokens)``.  A trailing chunk that
@@ -185,38 +197,36 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
             f"{overlap_tokens}")
     stride = chunk_tokens - overlap_tokens
     toks = F.regexp_extract_all(F.col(text_col), F.lit(r"(\S+)"), 1)
-    # NOTHING but the explode may reference the token array: a sibling
-    # size(toks) projection lands ABOVE the Generate in the optimized
-    # plan and re-tokenizes the full text once per OUTPUT ROW (verified
-    # — O(tokens × text) per document).  The trailing-chunk filter
-    # therefore uses max(pos) from the aggregate instead of a
-    # document-length column.
-    exploded = (df.select(F.col(id_col).alias("id"),
-                          F.posexplode(toks).alias("pos", "tok")))
-    # chunks containing position p: c in [max(0, ceil((p - chunk + 1) /
-    # stride)), floor(p / stride)] — at most ceil(chunk/stride) values,
-    # 2 for overlap < chunk/2
-    lo = F.greatest(F.lit(0),
-                    F.ceil((F.col("pos") - chunk_tokens + 1)
-                           / F.lit(stride)).cast("long"))
-    hi = F.floor(F.col("pos") / stride).cast("long")
-    chunks = (exploded
-              .withColumn("chunk_idx", F.explode(F.sequence(lo, hi)))
-              .groupBy("id", "chunk_idx")
-              .agg(F.count(F.lit(1)).alias("n_chunk_tokens"),
-                   F.max("pos").alias("_max_pos"),
-                   F.array_join(
-                       F.transform(
-                           F.array_sort(F.collect_list(
-                               F.struct(F.col("pos").alias("p"),
-                                        F.col("tok").alias("t")))),
-                           lambda s: s["t"]),
-                       " ").alias("chunk_text"))
-              # drop a trailing chunk that would only replay the
-              # overlap: it contributes a new token iff some member
-              # position reaches past its overlap region
+    # Generate barrier: _toks is the explode's OUTPUT attribute, so the
+    # regexp tokenization runs exactly once per document no matter how
+    # many chunk rows reference it below
+    tokd = df.select(F.col(id_col).alias("id"),
+                     F.explode(F.array(toks)).alias("_toks"))
+    n = F.size("_toks")
+    # documents with no tokens (NULL or whitespace-only text) emit no
+    # chunks — the exact behaviour of exploding an empty token array
+    chunks = (tokd
+              .filter(F.col("_toks").isNotNull() & (n >= 1))
+              .select("id", "_toks", n.alias("_n"),
+                      F.explode(F.sequence(
+                          F.lit(0).cast("long"),
+                          F.floor((n - 1) / F.lit(stride)).cast("long")))
+                      .alias("chunk_idx"))
+              # drop a trailing chunk that would only replay the overlap:
+              # it contributes a new token iff the document extends past
+              # its overlap region (chunk_idx*stride + overlap < n)
               .filter((F.col("chunk_idx") == 0)
-                      | (F.col("_max_pos")
-                         >= F.col("chunk_idx") * stride + overlap_tokens))
-              .drop("_max_pos"))
-    return chunks.withColumn("chunk_idx", F.col("chunk_idx").cast("int"))
+                      | (F.col("chunk_idx") * stride + overlap_tokens
+                         < F.col("_n")))
+              .select(
+                  "id",
+                  F.col("chunk_idx").cast("int").alias("chunk_idx"),
+                  F.least(F.lit(chunk_tokens).cast("long"),
+                          F.col("_n") - F.col("chunk_idx") * stride)
+                  .alias("n_chunk_tokens"),
+                  F.array_join(
+                      F.slice(F.col("_toks"),
+                              (F.col("chunk_idx") * stride + 1).cast("int"),
+                              chunk_tokens),
+                      " ").alias("chunk_text")))
+    return chunks

@@ -46,14 +46,21 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     ties break on neighbor id (deterministic output)."""
     from pyspark.sql.window import Window
 
+    # norms are hoisted BELOW the join (one fold per input row, not one
+    # per (query, corpus) pair — guide §1.2 per-task work): cosine keeps
+    # the exact dot/(norm_q*norm_c) operand order, so the doubles are
+    # bit-identical to the inline cosine_expr the oracle replays
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"))
+                       F.col(vec_col).alias("q_vec"),
+                       norm_expr(F.col(vec_col)).alias("_nq"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec"))
+                      F.col(vec_col).alias("c_vec"),
+                      norm_expr(F.col(vec_col)).alias("_nc"))
     scored = (c.crossJoin(F.broadcast(q))
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")),
+                      F.round(dot_expr(F.col("q_vec"), F.col("c_vec"))
+                              / (F.col("_nq") * F.col("_nc")),
                               round_digits).alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
@@ -304,14 +311,23 @@ def semantic_dedup(corpus: DataFrame, centroids: DataFrame,
             corpus, centroids, id_col, vec_col, round_digits,
             keep_vec_col="v").localCheckpoint(eager=True)
     elif assign_method == "sql":
+        # both norm folds are hoisted out of the per-(vector, centroid)
+        # cosine: the corpus norm is computed once per row BELOW the
+        # cross join, the centroid norm once per centroid inside the
+        # broadcast — the pair expression keeps the exact
+        # dot/(norm_v*norm_c) operand order of cosine_expr, so every
+        # double is bit-identical to the inline form the DuckDB oracle
+        # replays, at 1/3 the interpreted-fold work (guide §1.2)
         cent = centroids.select(F.col(id_col).alias("centroid_id"),
-                                F.col(vec_col).alias("cent_vec"))
+                                F.col(vec_col).alias("cent_vec"),
+                                norm_expr(F.col(vec_col)).alias("_ncent"))
         scored = (corpus.select(F.col(id_col).alias("id"),
-                                F.col(vec_col).alias("v"))
+                                F.col(vec_col).alias("v"),
+                                norm_expr(F.col(vec_col)).alias("_nv"))
                   .crossJoin(F.broadcast(cent))
-                  .select("id", "v", "centroid_id",
-                          F.round(cosine_expr(F.col("v"),
-                                              F.col("cent_vec")),
+                  .select("id", "v", "_nv", "centroid_id",
+                          F.round(dot_expr(F.col("v"), F.col("cent_vec"))
+                                  / (F.col("_nv") * F.col("_ncent")),
                                   round_digits).alias("centroid_sim")))
         w = Window.partitionBy("id").orderBy(F.desc("centroid_sim"),
                                              F.asc("centroid_id"))
@@ -322,20 +338,26 @@ def semantic_dedup(corpus: DataFrame, centroids: DataFrame,
         # assignment is a table you write once and reuse anyway.
         assign = (scored.withColumn("rn", F.row_number().over(w))
                   .filter(F.col("rn") == 1)
-                  .select("id", "v", "centroid_id", "centroid_sim")
+                  .select("id", "v", "_nv", "centroid_id", "centroid_sim")
                   .localCheckpoint(eager=True))
     else:
         raise ValueError(f"unknown assign_method {assign_method!r}")
+    if "_nv" not in assign.columns:
+        # batched path: one norm fold per row, off the materialized RDD
+        assign = assign.withColumn("_nv", norm_expr(F.col("v")))
 
-    cos = F.round(cosine_expr(F.col("v_a"), F.col("v_b")),
+    # the pair cosine reads the carried per-row norms (one fold per pair,
+    # not three) — same operand order as cosine_expr, bit-identical
+    cos = F.round(dot_expr(F.col("v_a"), F.col("v_b"))
+                  / (F.col("_nv_a") * F.col("_nv_b")),
                   round_digits).alias("cosine")
     # centroid_sim rides through the pair shuffle as an extra column, so
     # the drop rule needs NO join back to the assignment (two fewer
     # shuffles than the join formulation)
     pairs = _bucket_pairs(
         assign.select("id", F.col("centroid_id").alias("bucket"), "v",
-                      "centroid_sim"),
-        key_cols=["bucket"], extra_cols=["v", "centroid_sim"],
+                      "_nv", "centroid_sim"),
+        key_cols=["bucket"], extra_cols=["v", "_nv", "centroid_sim"],
         max_bucket=max_cluster,
         project=lambda df: (df.select("id_a", "id_b", cos,
                                       "centroid_sim_a", "centroid_sim_b")

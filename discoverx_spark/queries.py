@@ -48,6 +48,36 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Minimum input bytes per task slot before a post-read repartition stops
+# paying for itself: below this the scan yields (far) fewer splits than
+# the cluster has slots and every narrow stage (tokenize, shingle, regex,
+# hash) runs on a handful of cores.
+_PAR_MIN_BYTES_PER_SLOT = 4 << 20
+
+
+def _t_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a testdata table with SCALE-ADAPTIVE scan parallelism (guide
+    §2.5, input-side skew: "one huge unsplittable file → repartition
+    immediately after the read").  The sf tables ship as one row-group
+    file each, so the scan is a single split and all narrow work would
+    run one-core; when the file is too small to feed the cluster's task
+    slots (< 4 MB/slot) the read is repartitioned to
+    ``defaultParallelism``.  The branch is derived from INPUT SIZE, not a
+    local core-count constant: production-scale inputs (many splits)
+    skip it entirely, so no gratuitous full-corpus shuffle is added at
+    100 TB.  Row-level results are partitioning-invariant everywhere
+    this is used (deterministic keys, sorted float folds)."""
+    df = _t(spark, sf_dir, name)
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return df  # non-local path: split counts unknowable this cheaply
+    slots = spark.sparkContext.defaultParallelism
+    if size < slots * _PAR_MIN_BYTES_PER_SLOT:
+        return df.repartition(slots)
+    return df
+
+
 def cents(col) -> F.Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.round(c * 100).cast("long")
@@ -314,7 +344,7 @@ FROM s GROUP BY user_id, session_idx
 def q_scan_documents(spark, sf_dir):
     """The flagship DiscoverX scan (scanner.py:286-345 semantics) over the
     documents table, RE2-safe rule subset, no sampling (full table)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_par(spark, sf_dir, "documents")
     return classify_scores(docs, ORACLE_RULES, columns=_DOC_SCAN_COLS,
                            sample_size=None, table_catalog="main",
                            table_schema="testdata", table_name="documents")
@@ -337,7 +367,7 @@ def _sql_scan_documents() -> str:
 def q_scrub_documents(spark, sf_dir):
     """Per-doc scrub (JVM chain, SQL profile) + per-class counts on the raw
     text (email + ip_v4 as representative counters)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_par(spark, sf_dir, "documents")
     email_pat = next(r.sql_pattern for r in SCRUB_RULES if r.class_name == "email")
     ip_pat = next(r.sql_pattern for r in SCRUB_RULES if r.class_name == "ip_v4")
     return docs.select(
@@ -364,7 +394,7 @@ FROM documents
 
 def q_quality_gates_documents(spark, sf_dir):
     """Keep/drop heuristic gates over documents (pipeline gate shapes)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_par(spark, sf_dir, "documents")
     n_tokens = token_count_expr("text").cast("long")
     n_alpha = F.size(F.regexp_extract_all("text", F.lit("([A-Za-z])"), 1)).cast("long")
     n_chars = F.length("text").cast("long")
@@ -399,7 +429,7 @@ FROM f
 
 
 def q_langid_documents(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_par(spark, sf_dir, "documents")
     lid = langid_struct_expr("text")
     return docs.select("doc_id", lid["lang"].alias("lang_detected"),
                        lid["lang_score"].alias("lang_score"))
@@ -412,7 +442,7 @@ def _sql_langid_documents() -> str:
 
 
 def q_token_stats_documents(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_par(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         token_count_expr("text").cast("long").alias("n_tokens"),
@@ -432,7 +462,7 @@ FROM documents
 
 
 def q_dedup_exact_documents(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_par(spark, sf_dir, "documents")
     return (docs.select(fingerprint_expr("text").alias("fingerprint"),
                         F.col("doc_id"))
             .groupBy("fingerprint")
@@ -457,7 +487,7 @@ _MH_K = 8
 def q_minhash_signatures_documents(spark, sf_dir):
     # testdata ships one row-group per table → repartition for parallelism
     # (row-level projection; results are partitioning-invariant)
-    docs = _t(spark, sf_dir, "documents").repartition(32)
+    docs = _t_par(spark, sf_dir, "documents")
     return minhash_signatures(docs, "text", "doc_id", k=_MH_K, shingle_n=3,
                               hash_mode="md5")
 
@@ -493,7 +523,7 @@ SELECT id, {mins} FROM sh
 def q_minhash_lsh_pairs(spark, sf_dir):
     """LSH candidate pairs over documents ∪ clone(documents): every doc must
     pair with its clone (id+100000), plus any genuine band collisions."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    docs = _t_par(spark, sf_dir, "documents").select("doc_id", "text")
     both = docs.unionByName(
         docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
     sigs = minhash_signatures(both, "text", "doc_id", k=_MH_K, shingle_n=3,
@@ -523,7 +553,7 @@ _SIM_BITS = 16
 
 
 def q_simhash_documents(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").repartition(32)
+    docs = _t_par(spark, sf_dir, "documents")
     return docs.select("doc_id",
                        simhash_expr("text", bits=_SIM_BITS,
                                     hash_mode="md5").alias("simhash"))
@@ -546,7 +576,7 @@ FROM h GROUP BY doc_id
 
 
 def q_cosine_topk_embeddings(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_par(spark, sf_dir, "embeddings")
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
@@ -1202,7 +1232,7 @@ def q_sample_documents(spark, sf_dir):
     key, not df.sample) — the resume-safe replacement for the reference's
     TABLESAMPLE (scanner.py:338)."""
     from .operators.sampling import hash_sample
-    docs = _t(spark, sf_dir, "documents").repartition(32)
+    docs = _t_par(spark, sf_dir, "documents")
     return hash_sample(docs, "doc_id", 0.25, hash_mode="md5")
 
 
@@ -1220,7 +1250,7 @@ def q_stratified_sample_documents(spark, sf_dir):
     English, all German, half French, no Chinese, 10% of the rest —
     deterministic per row key, zero shuffle (a when-chain threshold)."""
     from .operators.sampling import stratified_hash_sample
-    docs = _t(spark, sf_dir, "documents").repartition(32)
+    docs = _t_par(spark, sf_dir, "documents")
     return stratified_hash_sample(docs, "doc_id", "lang", _STRATA_FRACTIONS,
                                   default_fraction=_STRATA_DEFAULT,
                                   hash_mode="md5")
@@ -1239,7 +1269,7 @@ def q_pack_sequences_documents(spark, sf_dir):
     """Concat-then-chunk sequence packing into 256-token context windows,
     one tape per language (partition-local sort + running-sum window)."""
     from .operators.packing import pack_sequences
-    docs = _t(spark, sf_dir, "documents").repartition(32)
+    docs = _t_par(spark, sf_dir, "documents")
     return pack_sequences(docs, "doc_id", "text", max_tokens=256,
                           partition_col="lang")
 
@@ -1267,7 +1297,7 @@ def q_domain_capped_documents(spark, sf_dir):
     """Per-source quota cap (C4/RefinedWeb-style 'no host dominates'):
     keep the 5 longest documents per source, deterministic ties."""
     from .operators.sampling import cap_per_group
-    docs = _t(spark, sf_dir, "documents").repartition(32)
+    docs = _t_par(spark, sf_dir, "documents")
     return cap_per_group(docs, "source", "n_chars", 5,
                          tiebreak_col="doc_id")
 
@@ -1285,7 +1315,7 @@ def q_vocab_top_tokens(spark, sf_dir):
     """Corpus vocabulary top-50 (map-side-combined token counts, total
     order for determinism)."""
     from .operators.packing import top_tokens
-    docs = _t(spark, sf_dir, "documents").repartition(32)
+    docs = _t_par(spark, sf_dir, "documents")
     return top_tokens(docs, "text", k=50)
 
 
@@ -1473,7 +1503,7 @@ def q_bm25_topk_documents(spark, sf_dir):
     path (contamination checks, quality-by-query slices).  Inverted-index
     plan: only query-term postings are aggregated."""
     from .operators.retrieval import bm25_topk
-    docs = _t(spark, sf_dir, "documents").repartition(32)
+    docs = _t_par(spark, sf_dir, "documents")
     return bm25_topk(docs, "text", "doc_id", _BM25_QUERY, k=_BM25_K)
 
 
@@ -1523,7 +1553,7 @@ def q_bm25_topk_batch_documents(spark, sf_dir):
     Spark job — zero per-query driver collects (corpus stats and term
     dfs stay DataFrames, query terms ride one broadcast)."""
     from .operators.retrieval import bm25_topk_batch
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_par(spark, sf_dir, "documents")
     qdf = spark.createDataFrame(_BM25_BATCH, "query_id long, query string")
     return bm25_topk_batch(docs, "text", "doc_id", qdf, k=_BM25_K)
 
@@ -1584,7 +1614,7 @@ def q_span_dedup_documents(spark, sf_dir):
     per-document overlap union.  Oracle family keys on the gram string
     itself (production twin: xxhash64)."""
     from .operators.dedup import span_dedup
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_par(spark, sf_dir, "documents")
     out = span_dedup(docs, "text", "doc_id", window=_SPAN_W,
                      hash_mode="gram")
     return out.select(F.col("id").alias("doc_id"), "clean_text",
@@ -1597,7 +1627,7 @@ def q_span_dedup_xxhash_sf(spark, sf_dir):
     gram keys, so the first-occurrence shuffle carries longs instead of
     ~60-char gram strings (the md5/xxhash dual-family policy)."""
     from .operators.dedup import span_dedup
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_par(spark, sf_dir, "documents")
     return span_dedup(docs, "text", "doc_id", window=_SPAN_W)
 
 
@@ -1607,7 +1637,7 @@ def q_span_dedup_minlen_documents(spark, sf_dir):
     ≥ L-w+1 consecutive duplicated windows, so isolated duplicated
     8-grams (common idioms) survive."""
     from .operators.dedup import span_dedup
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_par(spark, sf_dir, "documents")
     out = span_dedup(docs, "text", "doc_id", window=_SPAN_W,
                      hash_mode="gram", min_span_tokens=_SPAN_MINLEN)
     return out.select(F.col("id").alias("doc_id"), "clean_text",
@@ -1713,7 +1743,7 @@ def q_bpe_pair_counts_documents(spark, sf_dir):
     vocabulary-shaped aggregation every merge iteration repeats."""
     from .operators.bpe import (_pair_counts, _symbols_expr,
                                 word_frequencies)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_par(spark, sf_dir, "documents")
     words = word_frequencies(docs, "text").select(
         _symbols_expr("word").alias("symbols"), "freq")
     pc = _pair_counts(words)
@@ -1851,7 +1881,7 @@ def q_stupid_backoff_documents(spark, sf_dir):
     broadcast DataFrame, the backoff is a coalesce chain, the per-doc
     mean folds in position order)."""
     from .functions.ngram_lm import stupid_backoff_score, word_ngram_counts
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t_par(spark, sf_dir, "documents").select("doc_id", "text")
     # the scorer localCheckpoints the model internally (self-sufficient:
     # its six join branches scan one materialized RDD instead of each
     # re-running the training aggregation); production would persist the
@@ -1922,7 +1952,7 @@ def q_kneser_ney_documents(spark, sf_dir):
     counts give novel-continuation probability, join-based scoring,
     zero Python."""
     from .functions.kneser_ney import kneser_ney_model, kneser_ney_score
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t_par(spark, sf_dir, "documents").select("doc_id", "text")
     model = kneser_ney_model(docs, "text")
     out = kneser_ney_score(docs, "text", "doc_id", model, discount=_KN_D)
     return out.select(F.col("id").alias("doc_id"),
@@ -2008,7 +2038,7 @@ def q_dsir_weights_documents(spark, sf_dir):
     distribution is — Σ_b c_b·(ln p_t[b] − ln p_r[b]) with add-α
     multinomials over md5-hashed buckets, folded in sorted bucket order."""
     from .operators.dsir import dsir_log_weights
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t_par(spark, sf_dir, "documents").select("doc_id", "text")
     target = docs.filter(F.col("doc_id") % 10 == 3)
     w = dsir_log_weights(docs, target, "text", "doc_id",
                          buckets=_DSIR_BUCKETS, alpha=_DSIR_ALPHA,
@@ -2022,7 +2052,7 @@ def q_dsir_resample_documents(spark, sf_dir):
     replacement ∝ w(x), with hash-derived (deterministic, resumable,
     oracle-reproducible) Gumbel noise."""
     from .operators.dsir import dsir_resample
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t_par(spark, sf_dir, "documents").select("doc_id", "text")
     target = docs.filter(F.col("doc_id") % 10 == 3)
     out = dsir_resample(docs, target, "text", "doc_id", k=_DSIR_K,
                         buckets=_DSIR_BUCKETS, alpha=_DSIR_ALPHA,
@@ -2109,7 +2139,7 @@ def q_contamination_check(spark, sf_dir):
     corpus docs sharing any word 13-gram with a 5-doc 'eval set' (drawn
     from the corpus itself, so hits are guaranteed)."""
     from .operators.dedup import contamination_check
-    docs = _t(spark, sf_dir, "documents").repartition(32)
+    docs = _t_par(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") < 5).select("text")
     return contamination_check(docs, bench, n=_DECON_N)
 
@@ -2148,7 +2178,7 @@ def q_line_dedup_documents(spark, sf_dir):
     cross-page duplicate lines for :func:`line_dedup` to strip.  md5 hash
     family for DuckDB key parity; production runs xxhash64."""
     from .operators.dedup import line_dedup
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_par(spark, sf_dir, "documents")
     a = docs.select((F.col("doc_id") % 50).alias("page"),
                     F.col("doc_id").alias("ord"), "text")
     b = (docs.where(F.col("doc_id") % 3 == 0)
@@ -2477,7 +2507,7 @@ def q_sparse_neardup_documents(spark, sf_dir):
     MinHash/SimHash): inverted-index self-join with the high-df postings
     cap, rare shared vocabulary weighted up."""
     from .operators.retrieval import sparse_near_duplicates
-    docs = _t(spark, sf_dir, "documents").repartition(32)
+    docs = _t_par(spark, sf_dir, "documents")
     return sparse_near_duplicates(docs, "text", "doc_id", threshold=0.8,
                                   max_df=1000)
 
@@ -2519,7 +2549,7 @@ def q_incremental_lsh_pairs(spark, sf_dir):
     existing docs) banded against the full document index — each new doc
     must collide with its source; index×index pairs are never formed."""
     from .operators.dedup import incremental_lsh_pairs
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    docs = _t_par(spark, sf_dir, "documents").select("doc_id", "text")
     new = docs.filter(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 500000).alias("doc_id"), "text")
     idx_sigs = minhash_signatures(docs, "text", "doc_id", k=_MH_K,
@@ -2607,7 +2637,7 @@ def q_char_bigram_counts(spark, sf_dir):
     alphabet — vocabulary-shaped aggregation, ≤729 shuffled rows per task
     however big the corpus."""
     from .functions.perplexity import char_bigram_counts
-    docs = _t(spark, sf_dir, "documents").repartition(32)
+    docs = _t_par(spark, sf_dir, "documents")
     return char_bigram_counts(docs, "text")
 
 
@@ -2633,7 +2663,7 @@ def q_curation_pipeline_documents(spark, sf_dir):
     from .operators.packing import pack_sequences
     from .operators.sampling import hash_sample
 
-    docs = _t(spark, sf_dir, "documents").repartition(32)
+    docs = _t_par(spark, sf_dir, "documents")
     n_tokens = token_count_expr("text").cast("long")
     n_alpha = F.size(
         F.regexp_extract_all("text", F.lit("([A-Za-z])"), 1)).cast("long")
@@ -2854,7 +2884,7 @@ def q_minhash_neardup_xxhash_sf(spark, sf_dir):
     `minhash_neardup_xxhash` (generated input) and `minhash_lsh_pairs`
     (md5 twin).  bench.py times it so the fast path has tracked numbers."""
     from .operators.dedup import minhash_near_duplicates
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    docs = _t_par(spark, sf_dir, "documents").select("doc_id", "text")
     both = docs.unionByName(
         docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
     return minhash_near_duplicates(both, "text", "doc_id", k=16, bands=8,
@@ -2865,7 +2895,7 @@ def q_dedup_clusters_sf(spark, sf_dir):
     """Bench-only: end-to-end xxhash near-dup clustering (LSH candidates →
     verify → connected components) over documents ∪ clones."""
     from .operators.dedup import dedup_clusters
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    docs = _t_par(spark, sf_dir, "documents").select("doc_id", "text")
     both = docs.unionByName(
         docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
     return dedup_clusters(both, "text", "doc_id", k=16, bands=8,
@@ -3211,7 +3241,7 @@ def q_jaccard_verify_pairs(spark, sf_dir):
     `minhash_neardup_xxhash`."""
     from .operators.dedup import (jaccard_pairs, lsh_candidate_pairs,
                                   minhash_signatures)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    docs = _t_par(spark, sf_dir, "documents").select("doc_id", "text")
     both = docs.unionByName(
         docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
     sigs = minhash_signatures(both, "text", "doc_id", k=_MH_K, hash_mode="md5")
@@ -3261,7 +3291,7 @@ def q_simhash_neardup(spark, sf_dir):
     16 bits for oracle parity; production is 64-bit xxhash with 4-field
     blocking — tests/test_scale_guards.py)."""
     from .operators.dedup import simhash_near_duplicates
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(32)
+    docs = _t_par(spark, sf_dir, "documents").select("doc_id", "text")
     both = docs.unionByName(
         docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
     return simhash_near_duplicates(both, "text", "doc_id", bits=16,
@@ -3643,7 +3673,7 @@ def q_semantic_dedup_sf(spark, sf_dir):
     `semantic_dedup_embeddings`); bench.py times it so the scale path
     has tracked numbers."""
     from .operators.similarity import semantic_dedup
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = _t_par(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     both = emb.unionByName(
         emb.filter(F.col("vec_id") < 50)
         .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
@@ -3657,7 +3687,7 @@ def q_semantic_dedup_sql_sf(spark, sf_dir):
     batched numpy-matmul path so both assignment kernels carry tracked
     numbers (they are equality-tested in test_operators)."""
     from .operators.similarity import semantic_dedup
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = _t_par(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     both = emb.unionByName(
         emb.filter(F.col("vec_id") < 50)
         .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
@@ -3767,7 +3797,7 @@ def q_zipf_stats_documents(spark, sf_dir):
     """One-row corpus diagnostic: token/type totals + Zipf log-log slope
     over the top-1000 rank-frequency head (deterministic ranking)."""
     from .operators.packing import zipf_stats
-    docs = _t(spark, sf_dir, "documents").repartition(32)
+    docs = _t_par(spark, sf_dir, "documents")
     return zipf_stats(docs, "text", top_ranks=1000)
 
 
@@ -3797,10 +3827,9 @@ def q_cluster_reps_documents(spark, sf_dir):
     from .operators.dedup import (cluster_representatives,
                                   connected_components,
                                   lsh_candidate_pairs, minhash_signatures)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t_par(spark, sf_dir, "documents").select("doc_id", "text")
     both = docs.unionByName(
-        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")) \
-        .repartition(32)
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
     sigs = minhash_signatures(both, "text", "doc_id", k=_MH_K, shingle_n=3,
                               hash_mode="md5")
     pairs = lsh_candidate_pairs(sigs, bands=4, k=_MH_K, max_bucket=None)
@@ -3849,7 +3878,7 @@ def q_domain_divergence_documents(spark, sf_dir):
     distribution — the drift diagnostic behind mixture rebalancing
     (which domains are outliers and by how much, in nats)."""
     from .operators.packing import domain_divergence
-    docs = _t(spark, sf_dir, "documents").repartition(32)
+    docs = _t_par(spark, sf_dir, "documents")
     return domain_divergence(docs, "source", "text")
 
 
@@ -4907,7 +4936,7 @@ def q_fingerprint_neardup_xxhash_sf(spark, sf_dir):
     from .operators.fingerprint import fingerprint_overlap_pairs
     # same >= k-token pre-filter as the md5 twin: the twins exist to
     # compare hash families, so the jaccard side must see the same rows
-    docs = _t(spark, sf_dir, "documents").filter(
+    docs = _t_par(spark, sf_dir, "documents").filter(
         F.size(tokens_expr(F.col("text"))) >= _WIN_K)
     cands = fingerprint_overlap_pairs(
         docs, "text", "doc_id", k=_WIN_K, window=_WIN_W,
@@ -4925,7 +4954,7 @@ def q_fingerprint_neardup_verified(spark, sf_dir):
     winnowing as the candidate generator."""
     from .operators.dedup import jaccard_pairs
     from .operators.fingerprint import fingerprint_overlap_pairs
-    docs = _t(spark, sf_dir, "documents").filter(
+    docs = _t_par(spark, sf_dir, "documents").filter(
         F.size(tokens_expr(F.col("text")))
         >= _WIN_K)
     cands = fingerprint_overlap_pairs(
@@ -4976,7 +5005,7 @@ def q_corpus_report_documents(spark, sf_dir):
     curation run publishes next to its output.  Three fact-scan
     aggregation branches (each column-pruned) joined on the
     domain-count-sized key."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = _t_par(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     nt = F.size(tokens_expr(F.col("text")))
     ok = ((F.col("n_chars") >= _REPORT_GATE_MIN_CHARS)
           & (F.col("n_chars") <= _REPORT_GATE_MAX_CHARS)).cast("int")
@@ -5362,7 +5391,7 @@ def q_dedup_stack_documents(spark, sf_dir):
     preservation through span rebuild) are certified, not assumed."""
     from .operators.dedup import dedup_keep_best, span_dedup
     from .operators.packing import chunk_documents
-    docs = _t(spark, sf_dir, "documents").filter(
+    docs = _t_par(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
         & F.col("n_chars").between(_REPORT_GATE_MIN_CHARS,
                                    _REPORT_GATE_MAX_CHARS))
