@@ -90,7 +90,8 @@ def _gram_frame(df: DataFrame, text_col: str, n: int) -> DataFrame:
 _KN_KINDS = ("c3", "ctx3", "n2", "ctx2", "n1", "tot")
 
 
-def kneser_ney_model(df: DataFrame, text_col: str) -> DataFrame:
+def kneser_ney_model(df: DataFrame, text_col: str,
+                     min_count: int = 1) -> DataFrame:
     """Train the trigram KN statistics table: one DataFrame with rows
     (kind, k1, k2, k3, v1, v2) —
 
@@ -108,10 +109,22 @@ def kneser_ney_model(df: DataFrame, text_col: str) -> DataFrame:
     The count-of-count columns needed by modified-KN discounting are
     recomputed cheaply from this table at scoring time (three tiny
     aggregations), so the persisted model stays smoothing-agnostic.
-    """
+
+    ``min_count`` (default 1 = keep everything, the oracle-certified
+    configuration) prunes trigram types with ``c(uvw) < min_count``
+    BEFORE the derived statistics are computed, so the pruned model
+    stays self-consistent (every ctx3/n2/ctx2 row still aggregates
+    exactly the retained c3 rows) — the entropy-pruning stand-in that
+    bounds the dominant ``c3`` slice at web scale; scores for pruned
+    trigrams redistribute their mass through the backoff ladder, the
+    standard pruned-LM approximation."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
     tri = _gram_frame(df, text_col, 3)
     big = _gram_frame(df, text_col, 2)
     c3 = tri.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("v1"))
+    if min_count > 1:
+        c3 = c3.filter(F.col("v1") >= min_count)
     # c3 is the root of FOUR derived aggregations — cut the lineage so
     # the trigram explode+count runs once, not four times
     c3 = c3.localCheckpoint(eager=False)
@@ -120,7 +133,10 @@ def kneser_ney_model(df: DataFrame, text_col: str) -> DataFrame:
     n2 = c3.groupBy("v", "w").agg(F.count(F.lit(1)).alias("v1"))
     ctx2 = n2.groupBy("v").agg(F.sum("v1").alias("v1"),
                                F.count(F.lit(1)).alias("v2"))
-    c2t = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("v1"))
+    # c2t feeds TWO aggregations (n1, tot) — same lineage-cut policy as
+    # c3, saving a second bigram explode+count pass over the corpus
+    c2t = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("v1")) \
+        .localCheckpoint(eager=False)
     n1 = c2t.groupBy("w").agg(F.count(F.lit(1)).alias("v1"))
     tot = c2t.agg(F.count(F.lit(1)).alias("v1"),
                   F.count_distinct(F.col("w")).alias("v2"))
@@ -171,15 +187,34 @@ def _modified_discounts(counts: DataFrame, val_col: str) -> tuple:
 def kneser_ney_score(df: DataFrame, text_col: str, id_col: str,
                      model: DataFrame,
                      discount: Union[float, str] = KN_DISCOUNT,
+                     broadcast: Union[bool, str] = "auto",
                      ) -> DataFrame:
     """(id, kn_ppl, n_tokens) — per-document interpolated Kneser-Ney
     perplexity against a :func:`kneser_ney_model` table, entirely
-    JVM-side.  ``discount`` is a fixed D in (0, 1) or ``"modified"``
-    (per-order count-of-count discounts, the KenLM default).  Empty
-    documents yield ``kn_ppl = NULL`` with ``n_tokens = 0``."""
+    JVM-side.  ``id`` must identify documents uniquely (one output row
+    per document).  ``discount`` is a fixed D in (0, 1) or ``"modified"``
+    (per-order count-of-count discounts, the KenLM default).
+
+    ``broadcast`` is the model-side JOIN POLICY: ``'auto'`` (default)
+    broadcasts the six stat slices only while the materialized model is
+    at most :data:`~.ngram_lm.LM_BROADCAST_MAX_ROWS` rows and falls back
+    to plain hash joins on the gram keys beyond that — the full distinct-
+    trigram table of a 100 TB corpus (10⁹⁺ rows) must never ride a
+    forced broadcast hint (pair with ``kneser_ney_model(min_count=...)``
+    pruning to stay under the threshold when broadcast speed matters).
+    Empty documents yield ``kn_ppl = NULL`` with ``n_tokens = 0``."""
+    from .ngram_lm import _lm_join_side
+
     # the model feeds six join branches; materialize once (ngram_lm
-    # policy) so a raw training plan is not re-aggregated per branch
-    model = model.localCheckpoint(eager=False)
+    # policy) so a raw training plan is not re-aggregated per branch.
+    # The coalesce (narrow) folds the union's per-kind shuffle
+    # partitions so the checkpoint scan, the auto probe and the six
+    # broadcast builds each run cluster-parallelism tasks
+    model = model.coalesce(
+        df.sparkSession.sparkContext.defaultParallelism) \
+        .localCheckpoint(eager=False)
+    n_model = model.count() if broadcast == "auto" else 0
+    side = lambda sdf: _lm_join_side(sdf, broadcast, n_model)  # noqa: E731
     c3 = model.filter(F.col("kind") == "c3").select(
         F.col("k1").alias("_3u"), F.col("k2").alias("_3v"),
         F.col("k3").alias("_3w"), F.col("v1").alias("_c3"))
@@ -260,29 +295,30 @@ def kneser_ney_score(df: DataFrame, text_col: str, id_col: str,
         F.slice(padded, 1, F.greatest(n, F.lit(1))).alias("w2"),
         F.slice(padded, 2, F.greatest(n, F.lit(1))).alias("w1"),
         F.slice(padded, 3, F.greatest(n, F.lit(1))).alias("w"))
+    # posexplode_outer keeps empty documents as one null-position row —
+    # no second scan + join-back needed to restore them (guide §2.4)
     rows = (df.select(F.col(id_col).alias("id"),
-                      F.posexplode(F.when(n >= 1, zipped)
-                                   .otherwise(F.slice(zipped, 1, 0)))
+                      F.posexplode_outer(F.when(n >= 1, zipped))
                       .alias("pos", "s"))
             .select("id", "pos",
                     F.col("s.w2").alias("_w2"), F.col("s.w1").alias("_w1"),
                     F.col("s.w").alias("_w")))
     joined = (
         rows
-        .join(F.broadcast(c3),
+        .join(side(c3),
               (F.col("_w2").isNotNull()) & (F.col("_3u") == F.col("_w2"))
               & (F.col("_3v") == F.col("_w1"))
               & (F.col("_3w") == F.col("_w")), "left")
-        .join(F.broadcast(ctx3),
+        .join(side(ctx3),
               (F.col("_w2").isNotNull()) & (F.col("_xu") == F.col("_w2"))
               & (F.col("_xv") == F.col("_w1")), "left")
-        .join(F.broadcast(n2),
+        .join(side(n2),
               (F.col("_w1").isNotNull()) & (F.col("_2v") == F.col("_w1"))
               & (F.col("_2w") == F.col("_w")), "left")
-        .join(F.broadcast(ctx2),
+        .join(side(ctx2),
               (F.col("_w1").isNotNull()) & (F.col("_yv") == F.col("_w1")),
               "left")
-        .join(F.broadcast(n1), F.col("_1w") == F.col("_w"), "left")
+        .join(side(n1), F.col("_1w") == F.col("_w"), "left")
         .crossJoin(F.broadcast(tot)))
 
     # the interpolation ladder — the arithmetic tree below is mirrored
@@ -311,18 +347,26 @@ def kneser_ney_score(df: DataFrame, text_col: str, id_col: str,
     p = F.when(F.col("_w1").isNull(), p1) \
         .when(F.col("_w2").isNull(), p2).otherwise(p3)
 
-    per_doc = (joined.select("id", "pos", F.log(p).alias("_lp"))
-               .groupBy("id")
-               .agg(F.count(F.lit(1)).alias("n_tokens"),
-                    F.aggregate(
-                        F.array_sort(F.collect_list(
-                            F.struct("pos", "_lp"))),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x["_lp"]).alias("_sum")))
-    ids = df.select(F.col(id_col).alias("id"))
-    return (ids.join(per_doc, "id", "left")
-            .select("id",
-                    F.exp(-F.col("_sum")
-                          / F.col("n_tokens").cast("double"))
-                    .alias("kn_ppl"),
-                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens")))
+    # the null-position row of an empty document contributes to neither
+    # aggregate (count skips its NULL pos, the when() keeps it out of
+    # the fold list), so 0-token docs come out 0.0/0 = NULL ppl —
+    # exactly what the old ids-side join-back produced
+    per_doc = (joined.select(
+        "id", "pos",
+        F.when(F.col("pos").isNotNull(), F.log(p)).alias("_lp"))
+        .groupBy("id")
+        .agg(F.count("pos").alias("n_tokens"),
+             F.aggregate(
+                 F.array_sort(F.collect_list(
+                     F.when(F.col("pos").isNotNull(),
+                            F.struct("pos", "_lp")))),
+                 F.lit(0.0),
+                 lambda acc, x: acc + x["_lp"]).alias("_sum")))
+    # explicit 0-token guard (NULL ppl) — ANSI-safe where a bare 0/0
+    # division would throw
+    return per_doc.select(
+        "id",
+        F.when(F.col("n_tokens") > 0,
+               F.exp(-F.col("_sum") / F.col("n_tokens").cast("double")))
+        .alias("kn_ppl"),
+        F.col("n_tokens"))

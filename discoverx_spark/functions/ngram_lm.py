@@ -38,6 +38,8 @@ denominators.
 
 from __future__ import annotations
 
+from typing import Union
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -45,6 +47,28 @@ from .text import tokens_sql_expr as _tokens
 
 SB_LAMBDA = 0.4
 SB_OOV_NUMERATOR = 0.5
+
+# broadcast='auto' cutover: above this many model rows the count tables
+# stop being broadcast and the scorer falls back to plain (shuffled)
+# joins on the gram keys.  2M rows ≈ 100-200 MB built relation — inside
+# the "few hundred MB is usually fine" broadcast envelope (guide §3.1),
+# while an unpruned web-scale trigram table (10⁹⁺ rows) falls through to
+# the shuffle path instead of OOMing the driver.
+LM_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def _lm_join_side(df: DataFrame, broadcast: Union[bool, str],
+                  n_rows: int) -> DataFrame:
+    """Apply the model-side join policy: ``True`` forces the broadcast
+    hint, ``False`` never broadcasts, ``'auto'`` broadcasts iff the
+    materialized model has at most :data:`LM_BROADCAST_MAX_ROWS` rows
+    (the ``quality_classifier_frame`` auto-select precedent) — the
+    row count comes from the scorer's already-materialized checkpoint,
+    so the decision costs one metadata-cheap job, not a recount."""
+    if broadcast is True or (broadcast == "auto"
+                             and n_rows <= LM_BROADCAST_MAX_ROWS):
+        return F.broadcast(df)
+    return df
 
 
 def word_ngram_counts(df: DataFrame, text_col: str, order: int = 3,
@@ -85,18 +109,26 @@ def word_ngram_counts(df: DataFrame, text_col: str, order: int = 3,
 
 def stupid_backoff_score(df: DataFrame, text_col: str, id_col: str,
                          counts: DataFrame,
-                         lam: float = SB_LAMBDA) -> DataFrame:
+                         lam: float = SB_LAMBDA,
+                         broadcast: Union[bool, str] = "auto") -> DataFrame:
     """(id, sb_ppl, n_tokens) — per-document Stupid Backoff perplexity
-    against a ``word_ngram_counts`` model, entirely JVM-side.
+    against a ``word_ngram_counts`` model, entirely JVM-side.  ``id``
+    must identify documents uniquely (one output row per document).
 
     The position frame is built BEFORE exploding (arrays_zip of the
     null-left-padded token array with its shifts — never per-element
     lambdas over the outer array, which Catalyst would inline and
     re-tokenize per position), so each exploded row carries only
-    (id, pos, w₋₂, w₋₁, w).  The count tables join broadcast; the
-    per-doc mean folds ln S in position order (deterministic float
-    association, the BM25/classifier policy).  Empty docs yield
-    ``sb_ppl = NULL`` with ``n_tokens = 0``."""
+    (id, pos, w₋₂, w₋₁, w); ``posexplode_outer`` keeps empty documents
+    as one null-position row, so no second scan + join-back is needed to
+    restore them (guide §2.4).  ``broadcast`` picks the model-side join
+    strategy: ``'auto'`` (default) broadcasts the count tables only while
+    the model is at most :data:`LM_BROADCAST_MAX_ROWS` rows and falls
+    back to plain gram-key joins beyond — an unpruned web-scale count
+    table must never ride a forced broadcast hint.  The per-doc mean
+    folds ln S in position order (deterministic float association, the
+    BM25/classifier policy).  Empty docs yield ``sb_ppl = NULL`` with
+    ``n_tokens = 0``."""
     # the model feeds SIX branches below (c1×2, c2×2, c3, total): without
     # a lineage cut, a caller passing the raw word_ngram_counts plan would
     # re-run the training aggregation once per branch.  A lazy
@@ -105,7 +137,15 @@ def stupid_backoff_score(df: DataFrame, text_col: str, id_col: str,
     # scoring plan shows ExistingRDD scans, no training aggregates;
     # plan-tested).  Already-checkpointed input costs one cheap re-cache
     # of a pruned, broadcast-sized table.
-    counts = counts.localCheckpoint(eager=False)
+    # coalesce the union's per-order shuffle partitions (narrow, no
+    # shuffle) so the checkpoint scan, the auto probe and the six
+    # broadcast builds each run cluster-parallelism tasks, not
+    # 6 × shuffle.partitions micro-tasks
+    counts = counts.coalesce(
+        df.sparkSession.sparkContext.defaultParallelism) \
+        .localCheckpoint(eager=False)
+    n_model = counts.count() if broadcast == "auto" else 0
+    side = lambda sdf: _lm_join_side(sdf, broadcast, n_model)  # noqa: E731
     c1 = counts.filter(F.col("n") == 1).select(
         F.col("gram").alias("_g1"), F.col("cnt").alias("_c1"))
     c2 = counts.filter(F.col("n") == 2).select(
@@ -123,8 +163,7 @@ def stupid_backoff_score(df: DataFrame, text_col: str, id_col: str,
         F.slice(padded, 2, F.greatest(n, F.lit(1))).alias("w1"),
         F.slice(padded, 3, F.greatest(n, F.lit(1))).alias("w"))
     rows = (df.select(F.col(id_col).alias("id"),
-                      F.posexplode(F.when(n >= 1, zipped)
-                                   .otherwise(F.slice(zipped, 1, 0)))
+                      F.posexplode_outer(F.when(n >= 1, zipped))
                       .alias("pos", "s")))
     rows = rows.select(
         "id", "pos",
@@ -138,15 +177,15 @@ def stupid_backoff_score(df: DataFrame, text_col: str, id_col: str,
         rows
         .withColumn("_tri", tri).withColumn("_ctx2", ctx2)
         .withColumn("_big", big)
-        .join(F.broadcast(c3), F.col("_tri") == F.col("_g3"), "left")
-        .join(F.broadcast(c2.select(F.col("_g2").alias("_g2a"),
-                                    F.col("_c2").alias("_c2a"))),
+        .join(side(c3), F.col("_tri") == F.col("_g3"), "left")
+        .join(side(c2.select(F.col("_g2").alias("_g2a"),
+                             F.col("_c2").alias("_c2a"))),
               F.col("_ctx2") == F.col("_g2a"), "left")
-        .join(F.broadcast(c2), F.col("_big") == F.col("_g2"), "left")
-        .join(F.broadcast(c1.select(F.col("_g1").alias("_g1a"),
-                                    F.col("_c1").alias("_c1a"))),
+        .join(side(c2), F.col("_big") == F.col("_g2"), "left")
+        .join(side(c1.select(F.col("_g1").alias("_g1a"),
+                             F.col("_c1").alias("_c1a"))),
               F.col("_w1") == F.col("_g1a"), "left")
-        .join(F.broadcast(c1), F.col("_w") == F.col("_g1"), "left")
+        .join(side(c1), F.col("_w") == F.col("_g1"), "left")
         .crossJoin(F.broadcast(total)))
     lam2 = float(lam) * float(lam)
     s = F.when(F.col("_c3").isNotNull(),
@@ -156,18 +195,26 @@ def stupid_backoff_score(df: DataFrame, text_col: str, id_col: str,
         .when(F.col("_c1").isNotNull(),
               F.lit(lam2) * F.col("_c1") / F.col("_n_total")) \
         .otherwise(F.lit(lam2 * SB_OOV_NUMERATOR) / F.col("_n_total"))
-    per_doc = (scored.select("id", "pos", F.log(s).alias("_ls"))
-               .groupBy("id")
-               .agg(F.count(F.lit(1)).alias("n_tokens"),
-                    F.aggregate(
-                        F.array_sort(F.collect_list(
-                            F.struct("pos", "_ls"))),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x["_ls"]).alias("_sum")))
-    ids = df.select(F.col(id_col).alias("id"))
-    return (ids.join(per_doc, "id", "left")
-            .select("id",
-                    F.exp(-F.col("_sum")
-                          / F.col("n_tokens").cast("double"))
-                    .alias("sb_ppl"),
-                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens")))
+    # a null-position row (empty doc) contributes neither to the count
+    # nor to the fold — count("_ls") skips its NULL, the when() keeps it
+    # out of the list — and 0-token docs come out as 0.0/0 = NULL ppl,
+    # exactly what the old join-back produced
+    per_doc = (scored.select(
+        "id", "pos",
+        F.when(F.col("pos").isNotNull(), F.log(s)).alias("_ls"))
+        .groupBy("id")
+        .agg(F.count("pos").alias("n_tokens"),
+             F.aggregate(
+                 F.array_sort(F.collect_list(
+                     F.when(F.col("pos").isNotNull(),
+                            F.struct("pos", "_ls")))),
+                 F.lit(0.0),
+                 lambda acc, x: acc + x["_ls"]).alias("_sum")))
+    # explicit 0-token guard (NULL ppl) — ANSI-safe where a bare 0/0
+    # division would throw
+    return per_doc.select(
+        "id",
+        F.when(F.col("n_tokens") > 0,
+               F.exp(-F.col("_sum") / F.col("n_tokens").cast("double")))
+        .alias("sb_ppl"),
+        F.col("n_tokens"))

@@ -1050,6 +1050,12 @@ def span_dedup(df: DataFrame, text_col: str, id_col: str,
                                    .otherwise(F.slice(grams, 1, 0)))
                       .alias("pos", "gram"))
             .select("id", "pos", key(F.col("gram")).alias("_k")))
+    # NOTE (r6, measured): pre-partitioning occs on _k so the election
+    # and the duplicate join share one exchange (the bm25 pattern) was
+    # tried and reverted — it forfeits the election's map-side combine
+    # (the full occurrence stream crosses the wire instead of one row
+    # per distinct gram per task) and lost to the double-derived narrow
+    # explode at both tested sizes.
     first = occs.groupBy("_k").agg(
         F.min(F.struct("id", "pos")).alias("_first"),
         F.count(F.lit(1)).alias("_n"))

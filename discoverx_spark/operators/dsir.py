@@ -89,20 +89,8 @@ def dsir_log_weights(raw_df: DataFrame, target_df: DataFrame,
     the ratio table loses nothing; documents with no tokens score 0."""
     hist_t = bucket_histogram(target_df, text_col, buckets, hash_mode) \
         .withColumnRenamed("cnt", "_ct")
-    feats = ngram_bucket_features_expr(text_col, buckets, hash_mode)
-    # (id, bucket) counts feed BOTH the per-document fold and the raw
-    # histogram — hist_r is an exact integer rollup of doc_buckets, so
-    # deriving it here removes a second full tokenize+hash+explode pass
-    # over the raw corpus (guide §1.2: don't compute things twice).  The
-    # lazy checkpoint materializes the B-bounded-per-doc bucket rows once
-    # (a few % of corpus bytes) instead of re-deriving the plan per
-    # consumer; production would persist this frame as parquet anyway.
-    doc_buckets = (raw_df.select(F.col(id_col).alias("id"),
-                                 F.explode(feats).alias("bucket"))
-                   .groupBy("id", "bucket")
-                   .agg(F.count(F.lit(1)).alias("_cb"))
-                   .localCheckpoint(eager=False))
-    hist_r = doc_buckets.groupBy("bucket").agg(F.sum("_cb").alias("_cr"))
+    hist_r = bucket_histogram(raw_df, text_col, buckets, hash_mode) \
+        .withColumnRenamed("cnt", "_cr")
     # coalesce: an empty target corpus must yield the same finite
     # smoothed-multinomial weights the SQL oracle computes, not NULL-
     # poisoned ratios that silently zero every weight
@@ -118,6 +106,11 @@ def dsir_log_weights(raw_df: DataFrame, target_df: DataFrame,
                   - F.log(F.col("_tt") + ab)
                   - F.log(F.col("_cr") + alpha)
                   + F.log(F.col("_tr") + ab)).alias("_lr")))
+    feats = ngram_bucket_features_expr(text_col, buckets, hash_mode)
+    doc_buckets = (raw_df.select(F.col(id_col).alias("id"),
+                                 F.explode(feats).alias("bucket"))
+                   .groupBy("id", "bucket")
+                   .agg(F.count(F.lit(1)).alias("_cb")))
     weights = (doc_buckets.join(F.broadcast(ratio), "bucket")
                .groupBy("id")
                .agg(F.aggregate(

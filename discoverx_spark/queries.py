@@ -344,7 +344,7 @@ FROM s GROUP BY user_id, session_idx
 def q_scan_documents(spark, sf_dir):
     """The flagship DiscoverX scan (scanner.py:286-345 semantics) over the
     documents table, RE2-safe rule subset, no sampling (full table)."""
-    docs = _t_par(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents")
     return classify_scores(docs, ORACLE_RULES, columns=_DOC_SCAN_COLS,
                            sample_size=None, table_catalog="main",
                            table_schema="testdata", table_name="documents")
@@ -394,7 +394,7 @@ FROM documents
 
 def q_quality_gates_documents(spark, sf_dir):
     """Keep/drop heuristic gates over documents (pipeline gate shapes)."""
-    docs = _t_par(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents")
     n_tokens = token_count_expr("text").cast("long")
     n_alpha = F.size(F.regexp_extract_all("text", F.lit("([A-Za-z])"), 1)).cast("long")
     n_chars = F.length("text").cast("long")
@@ -442,7 +442,7 @@ def _sql_langid_documents() -> str:
 
 
 def q_token_stats_documents(spark, sf_dir):
-    docs = _t_par(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         token_count_expr("text").cast("long").alias("n_tokens"),
@@ -462,7 +462,7 @@ FROM documents
 
 
 def q_dedup_exact_documents(spark, sf_dir):
-    docs = _t_par(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents")
     return (docs.select(fingerprint_expr("text").alias("fingerprint"),
                         F.col("doc_id"))
             .groupBy("fingerprint")
@@ -576,7 +576,7 @@ FROM h GROUP BY doc_id
 
 
 def q_cosine_topk_embeddings(spark, sf_dir):
-    emb = _t_par(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings")
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
@@ -1743,7 +1743,7 @@ def q_bpe_pair_counts_documents(spark, sf_dir):
     vocabulary-shaped aggregation every merge iteration repeats."""
     from .operators.bpe import (_pair_counts, _symbols_expr,
                                 word_frequencies)
-    docs = _t_par(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents")
     words = word_frequencies(docs, "text").select(
         _symbols_expr("word").alias("symbols"), "freq")
     pc = _pair_counts(words)
@@ -2038,7 +2038,7 @@ def q_dsir_weights_documents(spark, sf_dir):
     distribution is — Σ_b c_b·(ln p_t[b] − ln p_r[b]) with add-α
     multinomials over md5-hashed buckets, folded in sorted bucket order."""
     from .operators.dsir import dsir_log_weights
-    docs = _t_par(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     target = docs.filter(F.col("doc_id") % 10 == 3)
     w = dsir_log_weights(docs, target, "text", "doc_id",
                          buckets=_DSIR_BUCKETS, alpha=_DSIR_ALPHA,
@@ -2052,7 +2052,7 @@ def q_dsir_resample_documents(spark, sf_dir):
     replacement ∝ w(x), with hash-derived (deterministic, resumable,
     oracle-reproducible) Gumbel noise."""
     from .operators.dsir import dsir_resample
-    docs = _t_par(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     target = docs.filter(F.col("doc_id") % 10 == 3)
     out = dsir_resample(docs, target, "text", "doc_id", k=_DSIR_K,
                         buckets=_DSIR_BUCKETS, alpha=_DSIR_ALPHA,
@@ -2178,7 +2178,7 @@ def q_line_dedup_documents(spark, sf_dir):
     cross-page duplicate lines for :func:`line_dedup` to strip.  md5 hash
     family for DuckDB key parity; production runs xxhash64."""
     from .operators.dedup import line_dedup
-    docs = _t_par(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents")
     a = docs.select((F.col("doc_id") % 50).alias("page"),
                     F.col("doc_id").alias("ord"), "text")
     b = (docs.where(F.col("doc_id") % 3 == 0)
@@ -3673,7 +3673,7 @@ def q_semantic_dedup_sf(spark, sf_dir):
     `semantic_dedup_embeddings`); bench.py times it so the scale path
     has tracked numbers."""
     from .operators.similarity import semantic_dedup
-    emb = _t_par(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     both = emb.unionByName(
         emb.filter(F.col("vec_id") < 50)
         .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
@@ -5005,7 +5005,7 @@ def q_corpus_report_documents(spark, sf_dir):
     curation run publishes next to its output.  Three fact-scan
     aggregation branches (each column-pruned) joined on the
     domain-count-sized key."""
-    docs = _t_par(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     nt = F.size(tokens_expr(F.col("text")))
     ok = ((F.col("n_chars") >= _REPORT_GATE_MIN_CHARS)
           & (F.col("n_chars") <= _REPORT_GATE_MAX_CHARS)).cast("int")

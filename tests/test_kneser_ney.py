@@ -213,3 +213,41 @@ def test_kn_bad_discount_raises(spark):
     model = kneser_ney_model(train, "text")
     with pytest.raises(ValueError):
         kneser_ney_score(train, "text", "doc_id", model, discount=1.5)
+
+
+def test_kn_model_min_count_pruning(spark):
+    """min_count pruning (the broadcast='auto' companion: bound the c3
+    slice at web scale) drops sub-threshold trigram types BEFORE the
+    derived statistics, so the pruned model stays self-consistent —
+    every ctx3 row aggregates exactly the retained c3 rows — and the
+    scorer still yields finite perplexities against it."""
+    from pyspark.sql import functions as F
+
+    from discoverx_spark.functions.kneser_ney import (kneser_ney_model,
+                                                      kneser_ney_score)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").limit(60)
+    pruned = kneser_ney_model(docs, "text", min_count=2)
+    c3 = pruned.filter(F.col("kind") == "c3")
+    assert c3.filter(F.col("v1") < 2).count() == 0
+    # ctx3 must roll up exactly the retained c3 rows
+    rolled = (c3.groupBy("k1", "k2")
+              .agg(F.sum("v1").alias("s"), F.count("*").alias("c")))
+    ctx3 = pruned.filter(F.col("kind") == "ctx3") \
+        .select("k1", "k2", F.col("v1").alias("s2"), F.col("v2").alias("c2"))
+    bad = (rolled.join(ctx3, ["k1", "k2"], "full")
+           .filter((F.col("s") != F.col("s2")) | (F.col("c") != F.col("c2"))
+                   | F.col("s").isNull() | F.col("s2").isNull()))
+    assert bad.count() == 0
+    scored = kneser_ney_score(docs, "text", "doc_id", pruned)
+    row = scored.agg(F.count("*").alias("n"),
+                     F.min("kn_ppl").alias("lo")).collect()[0]
+    assert row["n"] == 60 and row["lo"] > 0
+    # min_count=1 is the identity configuration
+    base = kneser_ney_model(docs, "text").orderBy("kind", "k1", "k2", "k3")
+    same = kneser_ney_model(docs, "text", min_count=1) \
+        .orderBy("kind", "k1", "k2", "k3")
+    assert [r.asDict() for r in base.collect()] \
+        == [r.asDict() for r in same.collect()]

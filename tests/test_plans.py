@@ -391,3 +391,53 @@ def test_chunk_documents_tokenizes_once(spark):
     opt = chunk_documents(docs, "doc_id", "text", 32, 8) \
         ._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("regexp_extract_all") == 1
+
+
+def test_lm_broadcast_auto_policy(spark, monkeypatch):
+    """broadcast='auto' keys the model-side JOIN STRATEGY off the
+    materialized model row count (VERDICT r5 #1): under the threshold
+    the six stat slices ride broadcast hash joins; over it (threshold
+    patched to 0 to simulate a web-scale trigram table) NO model slice
+    is broadcast — the only BroadcastExchange left is the 1-row totals
+    frame — so a 10⁹-row model can never OOM the driver through a
+    forced hint."""
+    from discoverx_spark.functions import ngram_lm
+    from discoverx_spark.functions.kneser_ney import (kneser_ney_model,
+                                                      kneser_ney_score)
+    from discoverx_spark.functions.ngram_lm import (stupid_backoff_score,
+                                                    word_ngram_counts)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text").limit(40)
+
+    def plans():
+        sb = stupid_backoff_score(
+            docs, "text", "doc_id", word_ngram_counts(docs, "text")) \
+            ._jdf.queryExecution().executedPlan().toString()
+        kn = kneser_ney_score(
+            docs, "text", "doc_id", kneser_ney_model(docs, "text")) \
+            ._jdf.queryExecution().executedPlan().toString()
+        return sb, kn
+
+    sb_small, kn_small = plans()
+    # small model: all five count-table joins + totals broadcast
+    assert sb_small.count("BroadcastExchange") == 6
+    assert kn_small.count("BroadcastExchange") == 6
+    assert "SortMergeJoin" not in sb_small
+
+    # "huge" model: patch the policy threshold to 0 AND disable the
+    # planner's own estimate-based auto-broadcast (a real 10⁹-row model
+    # would blow the estimate; the tiny fixture would not) — with the
+    # hint gone, no model slice may be broadcast: the only
+    # BroadcastExchange left is the hinted 1-row totals frame
+    monkeypatch.setattr(ngram_lm, "LM_BROADCAST_MAX_ROWS", 0)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        sb_big, kn_big = plans()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert sb_big.count("BroadcastExchange") == 1
+    assert kn_big.count("BroadcastExchange") == 1
+    assert ("SortMergeJoin" in sb_big) or ("ShuffledHashJoin" in sb_big)
+    assert ("SortMergeJoin" in kn_big) or ("ShuffledHashJoin" in kn_big)
