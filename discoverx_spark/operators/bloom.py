@@ -80,7 +80,11 @@ def make_might_contain_udf(spark, words: np.ndarray, num_bits: int,
                            num_hashes: int):
     """Arrow UDF testing membership against the broadcast word array,
     recomputing the build's exact positions with the pure-Python XXH64
-    twin — zero false negatives by construction."""
+    twin — zero false negatives by construction.  Kept as the
+    cross-implementation twin that certifies :func:`bloom_membership_frame`
+    (the pure-Python XXH64 == F.xxhash64 equivalence is what makes the
+    no-false-negative argument independently checkable); the production
+    probe path below never crosses the Python boundary."""
     from ..functions.xxh import spark_xxhash64_string
 
     bc = spark.sparkContext.broadcast(words)
@@ -103,6 +107,47 @@ def make_might_contain_udf(spark, words: np.ndarray, num_bits: int,
     return might_contain
 
 
+def bloom_membership_frame(df: DataFrame, key_col: str, words: np.ndarray,
+                           num_bits: int, num_hashes: int,
+                           flag_col: str = "_maybe") -> DataFrame:
+    """Attach a Bloom membership flag as a 100% JVM projection — no
+    Python worker ever sees the probe side (guide §4: eliminate the
+    boundary, not just batch it).  The k bit positions are computed with
+    the IDENTICAL ``pmod(xxhash64(key, i), m)`` expressions the build
+    used (zero false negatives by construction), the word array rides
+    one broadcast row, and the membership test is a plain codegen'd
+    conjunction of k bit probes — ``shiftright``/``bitwiseAND`` on the
+    broadcast array cell.
+
+    NULL keys: ``xxhash64`` hashes a NULL input to its seed, giving a
+    fixed (valid) position set; whichever branch such a row lands in,
+    the downstream exact verification treats it as novel (NULL never
+    equals an index key), so the operator's output is unchanged."""
+    if num_bits % 64 != 0:
+        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    spark = df.sparkSession
+    # signed view: same 64 bits, Spark longs are signed
+    wlist = [int(x) for x in words.view(np.int64)]
+    wdf = spark.createDataFrame([(wlist,)], "_bloom_words: array<bigint>")
+    key = F.col(key_col).cast("string")
+    masks = F.array(*[F.lit((1 << b) - (1 << 64 if b == 63 else 0))
+                      for b in range(64)])
+
+    def probe(i: int):
+        p = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
+        word = F.element_at(F.col("_bloom_words"),
+                            F.shiftright(p, 6).cast("int") + 1)
+        mask = F.element_at(masks, p.bitwiseAND(F.lit(63)).cast("int") + 1)
+        return word.bitwiseAND(mask) != 0
+
+    flag = probe(0)
+    for i in range(1, num_hashes):
+        flag = flag & probe(i)
+    return (df.crossJoin(F.broadcast(wdf))
+            .withColumn(flag_col, flag)
+            .drop("_bloom_words"))
+
+
 def bloom_prefilter_novel(batch: DataFrame, index: DataFrame, key_col: str,
                           expected_items: int = 1 << 20,
                           fpp: float = 0.01) -> DataFrame:
@@ -113,11 +158,12 @@ def bloom_prefilter_novel(batch: DataFrame, index: DataFrame, key_col: str,
     result stays identical to a plain left-anti join."""
     m, k = bloom_params(expected_items, fpp)
     words = bloom_build(index.select(key_col), key_col, m, k)
-    mc = make_might_contain_udf(batch.sparkSession, words, m, k)
+    # pure-JVM probe (no Python boundary): k xxhash64 positions + k
+    # codegen'd bit tests against the one-row broadcast word array
     # lazy checkpoint: both output branches reference `flagged` — without
-    # the lineage cut each branch re-runs the probe UDF over the batch
-    flagged = (batch.withColumn("_maybe", mc(F.col(key_col).cast("string")))
-               .localCheckpoint(eager=False))
+    # the lineage cut each branch re-runs the probe over the batch
+    flagged = bloom_membership_frame(batch, key_col, words, m, k) \
+        .localCheckpoint(eager=False)
     definite_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
     verified_new = (flagged.filter(F.col("_maybe")).drop("_maybe")
                     .join(index.select(key_col).distinct(),

@@ -1131,10 +1131,15 @@ def dedup_keep_best(df: DataFrame, text_col: str, id_col: str,
     crawls differ in truncation and boilerplate, and min-id keeps
     whichever was crawled first, not whichever is most complete.
 
-    One shuffle on the fingerprint; the election is
-    ``max(struct(score, -id))`` inside the aggregate (map-side partial),
-    then a left-semi join back on (fingerprint, id) — no window over
-    text-carrying rows.  Returns the surviving rows plus ``dup_count``.
+    One shuffle on the fingerprint; the election is a
+    ``min(struct(score_null_flag, -score, id))`` inside the aggregate
+    (map-side partial) — max score wins, NULL scores lose to scored
+    rows, ties keep the smallest id — then a left-semi join back on
+    (fingerprint, id), no window over text-carrying rows.  The id rides
+    the election struct UNTRANSFORMED, so any orderable id type works
+    (a string id under the previous ``-id`` negation cast to NULL and
+    silently emptied the result — ADVICE r5).  ``score`` must be
+    numeric.  Returns the surviving rows plus ``dup_count``.
     """
     from ..functions.text import fingerprint_expr
 
@@ -1144,10 +1149,12 @@ def dedup_keep_best(df: DataFrame, text_col: str, id_col: str,
         score.alias("_score"),
         fingerprint_expr(text_col).alias("_fp"))
     best = (keyed.groupBy("_fp")
-            .agg(F.max(F.struct(F.col("_score").alias("s"),
-                                (-F.col("id")).alias("nid"))).alias("_b"),
+            .agg(F.min(F.struct(
+                F.col("_score").isNull().cast("int").alias("nf"),
+                F.coalesce(-F.col("_score"), F.lit(0)).alias("ns"),
+                F.col("id").alias("id"))).alias("_b"),
                  F.count(F.lit(1)).alias("dup_count"))
-            .select("_fp", (-F.col("_b.nid")).alias("id"), "dup_count"))
+            .select("_fp", F.col("_b.id").alias("id"), "dup_count"))
     return (keyed.join(best, ["_fp", "id"])
             .select("id", F.col("_text").alias("text"),
                     F.col("_score").alias("score"), "dup_count"))

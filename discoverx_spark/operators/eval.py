@@ -83,7 +83,13 @@ def binary_auc(df: DataFrame, label_col, score_col) -> DataFrame:
     for the distinct-score scale argument — quantize scores first."""
     y = _as_col(label_col).cast("boolean")
     s = _as_col(score_col).cast("double")
+    # NULL-scored rows are EXCLUDED up front (the standard AUC
+    # convention) — previously they grouped into their own bucket and,
+    # sorting first in the rank window, silently counted as the
+    # lowest-ranked scores (a NULL-scored positive deflated the AUC;
+    # ADVICE r5)
     per_score = (df.select(s.alias("score"), y.alias("y"))
+                 .filter(F.col("score").isNotNull())
                  .groupBy("score")
                  .agg(F.sum(F.when(F.col("y"), 1).otherwise(0))
                       .cast("long").alias("pos"),

@@ -54,3 +54,39 @@ def test_prefilter_equals_plain_anti_join(spark):
     w = sorted((r["row_id"], r["key"]) for r in want.collect())
     assert g == w and len(g) > 0
     assert (999, None) in g               # null key is definitely new
+
+
+def test_jvm_membership_frame_equals_udf_twin(spark):
+    """The pure-JVM probe (bloom_membership_frame — k xxhash64 positions
+    + codegen bit tests, no Python boundary) must agree with the
+    pure-Python XXH64 UDF twin on every non-null key; NULL keys may
+    route differently (the UDF says False, the JVM hash probes the
+    seed positions) but both routes end in the exact anti-join, which
+    the bloom_prefilter_novel output equality below certifies."""
+    from pyspark.sql import functions as F
+
+    from discoverx_spark.operators.bloom import (bloom_build,
+                                                 bloom_membership_frame,
+                                                 bloom_params,
+                                                 make_might_contain_udf)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(200)
+    index = docs.filter("doc_id % 2 = 0").selectExpr("text AS key")
+    m, k = bloom_params(256, 0.01)
+    words = bloom_build(index, "key", m, k)
+    probe = docs.selectExpr("doc_id", "text AS key") \
+        .unionByName(spark.createDataFrame(
+            [(10**9, None)], "doc_id: long, key: string"))
+    mc = make_might_contain_udf(spark, words, m, k)
+    both = (bloom_membership_frame(probe, "key", words, m, k,
+                                   flag_col="jvm")
+            .withColumn("py", mc(F.col("key").cast("string"))))
+    diff = both.filter(F.col("key").isNotNull()
+                       & (F.col("jvm") != F.col("py"))).count()
+    assert diff == 0
+    # and every indexed key is Bloom-positive (no false negatives)
+    fn = (bloom_membership_frame(index.selectExpr("key"), "key", words,
+                                 m, k, flag_col="jvm")
+          .filter(~F.col("jvm")).count())
+    assert fn == 0

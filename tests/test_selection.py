@@ -114,3 +114,21 @@ def test_doremi_absent_domain_keeps_prior_mass(spark):
     assert abs(sum(r["weight"] for r in got.values()) - 1.0) < 1e-5
     # zero-excess domains share the same weight; a's excess raises it
     assert got["b"]["weight"] == got["c"]["weight"] < got["a"]["weight"]
+
+
+def test_dedup_keep_best_string_ids(spark):
+    """ADVICE r5: a non-numeric id must work — the old -id tie-break
+    cast string ids to NULL and the join-back silently returned an
+    empty frame.  Max score wins, ties keep the lexicographically
+    smallest id, NULL scores lose to scored rows."""
+    from pyspark.sql import functions as F
+
+    from discoverx_spark.operators.dedup import dedup_keep_best
+
+    rows = [("conv-b", "same text", 5), ("conv-a", "same text", 5),
+            ("conv-c", "same text", 9), ("conv-d", "other text", None),
+            ("conv-e", "other text", 1)]
+    df = spark.createDataFrame(rows, "cid: string, text: string, q: int")
+    out = dedup_keep_best(df, "text", "cid", F.col("q")).collect()
+    got = {r["id"]: (r["score"], r["dup_count"]) for r in out}
+    assert got == {"conv-c": (9, 3), "conv-e": (1, 2)}
