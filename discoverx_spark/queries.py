@@ -1553,7 +1553,7 @@ def q_bm25_topk_batch_documents(spark, sf_dir):
     Spark job — zero per-query driver collects (corpus stats and term
     dfs stay DataFrames, query terms ride one broadcast)."""
     from .operators.retrieval import bm25_topk_batch
-    docs = _t_par(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents")
     qdf = spark.createDataFrame(_BM25_BATCH, "query_id long, query string")
     return bm25_topk_batch(docs, "text", "doc_id", qdf, k=_BM25_K)
 

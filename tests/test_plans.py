@@ -259,9 +259,17 @@ def test_registry_wide_plan_budgets(spark):
         # last two
         "incremental_fingerprint_overlap": 8,
         # four-operator composition: keep-best (fp groupBy + semi join)
-        # + span dedup (gram groupBy + removal join) + chunk explode
-        # groupBy, with each stage's documented exchanges chained
-        "dedup_stack_documents": 12,
+        # + span dedup (gram groupBy + removal join) + zero-shuffle
+        # chunking, with each stage's documented exchanges chained; r6:
+        # the adaptive input repartition subtree is TEXT-counted once
+        # per docs-scan reference (4 branches, ReusedExchange at
+        # runtime) even though chunking's own exchange is gone
+        "dedup_stack_documents": 16,
+        # r6: the adaptive input repartition (_t_par) appears once per
+        # scan reference — span_dedup references the docs scan in both
+        # the occurrence and the rebuild branch (ReusedExchange at
+        # runtime); the operator's own shuffles are unchanged
+        "span_dedup_documents": 7, "span_dedup_minlen_documents": 7,
     }
     default_budget = 5
     for name, (fn, _sql) in QUERIES.items():
