@@ -68,25 +68,6 @@ from .text import tokens_sql_expr as _tokens
 KN_DISCOUNT = 0.75
 
 
-def _gram_frame(df: DataFrame, text_col: str, n: int) -> DataFrame:
-    """One row per n-gram TOKEN occurrence: columns u?, v, w (the last
-    n words of the gram; u only for n=3).  Built by zipping the token
-    array with its shifts BEFORE exploding — per-element lambdas over
-    the outer array would be re-inlined by Catalyst (the ngram_lm
-    lesson)."""
-    toks = _tokens(text_col)
-    sz = F.size(toks) - n + 1
-    one = F.greatest(F.size(toks), F.lit(1))
-    shifts = [F.slice(toks, j + 1, one).alias(a)
-              for j, a in zip(range(n), ("u", "v", "w")[3 - n:])]
-    zipped = F.arrays_zip(*shifts)
-    grams = F.when(sz >= 1, F.slice(zipped, 1, sz)) \
-        .otherwise(F.slice(zipped, 1, 0))
-    s = F.explode(grams).alias("s")
-    cols = [F.col(f"s.{a}").alias(a) for a in ("u", "v", "w")[3 - n:]]
-    return df.select(s).select(*cols)
-
-
 _KN_KINDS = ("c3", "ctx3", "n2", "ctx2", "n1", "tot")
 
 
@@ -120,22 +101,39 @@ def kneser_ney_model(df: DataFrame, text_col: str,
     standard pruned-LM approximation."""
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
-    tri = _gram_frame(df, text_col, 3)
-    big = _gram_frame(df, text_col, 2)
-    c3 = tri.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("v1"))
+    # ONE corpus pass for BOTH gram orders (guide §1.2 — was one
+    # explode+count per order): every bigram position (t_j, t_{j+1})
+    # explodes once carrying its left context u = t_{j-1} (NULL at the
+    # document head), one map-side-combined groupBy counts the padded
+    # triples, and the trigram counts (u non-null rows) and the bigram
+    # occurrence counts (Σ_u per (v, w)) are exact type-bounded rollups
+    # of that one table — the corpus is never re-tokenized
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    m = F.greatest(n - 1, F.lit(1))
+    zipped = F.arrays_zip(
+        F.slice(F.concat(F.array(F.lit(None).cast("string")), toks),
+                1, m).alias("u"),
+        F.slice(toks, 1, m).alias("v"),
+        F.slice(toks, 2, m).alias("w"))
+    pos = (df.select(F.explode(F.when(n >= 2, zipped)).alias("s"))
+           .select(F.col("s.u").alias("u"), F.col("s.v").alias("v"),
+                   F.col("s.w").alias("w")))
+    # g is the root of every derived aggregation — cut the lineage so
+    # the explode+count runs once, not per consumer
+    g = pos.groupBy("u", "v", "w").agg(F.count(F.lit(1)).alias("v1")) \
+        .localCheckpoint(eager=False)
+    c3 = g.filter(F.col("u").isNotNull())
     if min_count > 1:
         c3 = c3.filter(F.col("v1") >= min_count)
-    # c3 is the root of FOUR derived aggregations — cut the lineage so
-    # the trigram explode+count runs once, not four times
-    c3 = c3.localCheckpoint(eager=False)
     ctx3 = c3.groupBy("u", "v").agg(F.sum("v1").alias("v1"),
                                     F.count(F.lit(1)).alias("v2"))
     n2 = c3.groupBy("v", "w").agg(F.count(F.lit(1)).alias("v1"))
     ctx2 = n2.groupBy("v").agg(F.sum("v1").alias("v1"),
                                F.count(F.lit(1)).alias("v2"))
-    # c2t feeds TWO aggregations (n1, tot) — same lineage-cut policy as
-    # c3, saving a second bigram explode+count pass over the corpus
-    c2t = big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("v1")) \
+    # c2t (bigram occurrence counts) feeds TWO aggregations (n1, tot) —
+    # same lineage-cut policy
+    c2t = g.groupBy("v", "w").agg(F.sum("v1").alias("v1")) \
         .localCheckpoint(eager=False)
     n1 = c2t.groupBy("w").agg(F.count(F.lit(1)).alias("v1"))
     tot = c2t.agg(F.count(F.lit(1)).alias("v1"),

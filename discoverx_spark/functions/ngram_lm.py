@@ -74,33 +74,55 @@ def _lm_join_side(df: DataFrame, broadcast: Union[bool, str],
 def word_ngram_counts(df: DataFrame, text_col: str, order: int = 3,
                       min_count: int = 1) -> DataFrame:
     """(gram, n, cnt) counts for all orders 1..``order`` — the trained
-    model, as a DataFrame.  One explode + map-side-combined groupBy per
-    order, unioned; the shuffle is bounded by the distinct-n-gram count,
-    never the corpus size.  ``min_count`` prunes the long tail (entropy
-    pruning's cheap cousin): pruning only REMOVES grams, so backoff
-    soundness (prefix-of-counted-gram-is-counted) is preserved as long
-    as the same threshold applies to every order."""
+    model, as a DataFrame.
+
+    ONE corpus pass for every order (guide §1.2 — was one explode +
+    groupBy per order, i.e. ``order`` full passes): each token position
+    explodes once with its ``order-1`` left-context words (NULL-padded
+    at the document start), one map-side-combined groupBy over the
+    padded context key counts every position, and each order's counts
+    are an exact type-bounded rollup of that table — the count of gram
+    (w₁..wₙ) is the sum of position counts whose last n slots match it,
+    which the sub-groupBy computes without touching the corpus again.
+    Shuffle is bounded by distinct padded-context counts, never corpus
+    size.  ``min_count`` prunes the long tail (entropy pruning's cheap
+    cousin): pruning only REMOVES grams, so backoff soundness
+    (prefix-of-counted-gram-is-counted) is preserved as long as the
+    same threshold applies to every order."""
     if order < 1:
         raise ValueError("order must be >= 1")
     toks = _tokens(text_col)
+    n_toks = F.size(toks)
+    pad = F.array(*[F.lit(None).cast("string")] * (order - 1)) \
+        if order > 1 else F.array().cast("array<string>")
+    padded = F.concat(pad, toks)
+    slots = [F.slice(padded, j + 1, F.greatest(n_toks, F.lit(1)))
+             .alias(f"c{order - 1 - j}") for j in range(order)]
+    zipped = F.arrays_zip(*slots)
+    rows = (df.select(F.explode(F.when(n_toks >= 1, zipped)).alias("s"))
+            .select(*[F.col(f"s.c{i}").alias(f"_c{i}")
+                      for i in range(order - 1, -1, -1)]))
+    keys = [f"_c{i}" for i in range(order - 1, -1, -1)]  # oldest first
+    ctx = (rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("_cnt"))
+           .localCheckpoint(eager=False))
     parts = []
     for n in range(1, order + 1):
-        if n == 1:
-            grams: Column = toks
+        sub = ctx
+        if n < order:
+            sub = sub.groupBy(*keys[order - n:]) \
+                .agg(F.sum("_cnt").alias("_cnt"))
         else:
-            joined = toks
-            for j in range(1, n):
-                joined = F.zip_with(
-                    joined, F.slice(toks, j + 1, F.greatest(F.size(toks),
-                                                            F.lit(1))),
-                    lambda a, b: F.concat(a, F.lit(" "), b))
-            sz = F.size(toks) - n + 1
-            grams = F.when(sz >= 1, F.slice(joined, 1, sz)) \
-                .otherwise(F.slice(toks, 1, 0))
-        parts.append(
-            df.select(F.explode(grams).alias("gram"))
-            .groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
-            .select("gram", F.lit(n).alias("n"), "cnt"))
+            # highest order: rows whose full context exists
+            sub = sub.filter(F.col(keys[0]).isNotNull())
+        if n > 1:
+            # any NULL in the last n slots marks a shorter-than-n
+            # position (document head) — not an order-n gram
+            sub = sub.filter(F.col(keys[order - n]).isNotNull())
+        gram = F.concat_ws(" ", *keys[order - n:]) if n > 1 \
+            else F.col(keys[-1])
+        parts.append(sub.select(gram.alias("gram"),
+                                F.lit(n).alias("n"),
+                                F.col("_cnt").cast("long").alias("cnt")))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
