@@ -68,8 +68,15 @@ def _t_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     100 TB.  Row-level results are partitioning-invariant everywhere
     this is used (deterministic keys, sorted float folds)."""
     df = _t(spark, sf_dir, name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
     try:
-        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+        if os.path.isdir(path):
+            # Spark-written dataset directory: sum the data files (the
+            # inode size of the directory itself is meaningless)
+            size = sum(e.stat().st_size for e in os.scandir(path)
+                       if e.is_file() and not e.name.startswith(("_", ".")))
+        else:
+            size = os.path.getsize(path)
     except OSError:
         return df  # non-local path: split counts unknowable this cheaply
     slots = spark.sparkContext.defaultParallelism
